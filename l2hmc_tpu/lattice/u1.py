@@ -1,0 +1,234 @@
+"""2-D U(1) lattice gauge theory on TPU.
+
+Pure-functional rebuild of the live lattice in the reference
+(``lattice/lattice.py:61-563`` and the graph-side duplicates in
+``gauge_model.py:659-726``): Wilson action, plaquette / topological-charge
+observables, the analytic average-plaquette oracle, and the differentiable
+Fourier-series surrogate of the angle projection used by the topological
+loss (``gauge_model.py:78-108``).
+
+Design notes (TPU-first):
+
+- Link field layout is ``(..., Lt, Lx, 2)`` angles in float32.  The flat
+  layout used by the dynamics is ``(..., 2*Lt*Lx)``; :func:`to_links` /
+  :func:`to_flat` convert.  All functions broadcast over arbitrary leading
+  batch axes, so ``jax.vmap`` is never required (but composes fine).
+- The action is a handful of rolls + cos + reduce — XLA fuses this into one
+  elementwise kernel.  A fused Pallas version (action + grad) lives in
+  ``l2hmc_tpu.ops.wilson`` for the hot training path.
+- No data-dependent control flow: everything traces once under ``jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TWO_PI = 2.0 * np.pi
+
+
+@dataclasses.dataclass(frozen=True)
+class LatticeShape:
+    """Static U(1) lattice geometry (hashable: usable as a jit static arg)."""
+
+    time_size: int
+    space_size: int
+    dim: int = 2  # number of link directions == lattice dimensionality
+
+    @property
+    def links_shape(self) -> Tuple[int, int, int]:
+        return (self.time_size, self.space_size, self.dim)
+
+    @property
+    def num_links(self) -> int:
+        return self.time_size * self.space_size * self.dim
+
+    @property
+    def num_plaquettes(self) -> int:
+        return self.time_size * self.space_size
+
+    @property
+    def x_dim(self) -> int:
+        """Flat state dimensionality seen by the dynamics."""
+        return self.num_links
+
+
+def to_links(x: jax.Array, shape: LatticeShape) -> jax.Array:
+    """Reshape flat state ``(..., num_links)`` to ``(..., Lt, Lx, 2)``."""
+    return x.reshape(*x.shape[:-1], *shape.links_shape)
+
+
+def to_flat(links: jax.Array) -> jax.Array:
+    """Reshape ``(..., Lt, Lx, 2)`` links to flat ``(..., num_links)``."""
+    return links.reshape(*links.shape[:-3], -1)
+
+
+def plaq_sums(links: jax.Array) -> jax.Array:
+    """Sum of link angles around each elementary plaquette.
+
+    ``links`` has shape ``(..., Lt, Lx, 2)``; the result ``(..., Lt, Lx)``.
+
+    Matches the reference orientation (``lattice/lattice.py:300-303``,
+    ``gauge_model.py:671-675``)::
+
+        P(t, x) = U0(t, x) - U1(t, x) - U0(t, x+1) + U1(t+1, x)
+
+    where axis -3 is time and axis -2 is space, both periodic.
+    """
+    u0 = links[..., 0]
+    u1 = links[..., 1]
+    return (
+        u0
+        - u1
+        - jnp.roll(u0, shift=-1, axis=-1)
+        + jnp.roll(u1, shift=-1, axis=-2)
+    )
+
+
+def wilson_action(links: jax.Array) -> jax.Array:
+    """Total Wilson action ``S = sum(1 - cos(P))`` per sample.
+
+    Reference: ``lattice/lattice.py:337-362``. Input ``(..., Lt, Lx, 2)``,
+    output ``(...,)``.  Multiply by ``beta`` to get the potential energy.
+    """
+    return jnp.sum(1.0 - jnp.cos(plaq_sums(links)), axis=(-2, -1))
+
+
+def avg_plaquette(links: jax.Array) -> jax.Array:
+    """Average plaquette ``<cos P>`` per sample (``lattice/lattice.py:285-298``)."""
+    p = plaq_sums(links)
+    return jnp.mean(jnp.cos(p), axis=(-2, -1))
+
+
+def project_angle(x: jax.Array) -> jax.Array:
+    """Project angles to ``[-pi, pi)`` (exact, non-differentiable at edges).
+
+    Reference: ``gauge_model.py:78-80``.
+    """
+    return x - TWO_PI * jnp.floor((x + np.pi) / TWO_PI)
+
+
+def project_angle_approx(x: jax.Array, n_terms: int = 5) -> jax.Array:
+    """Differentiable Fourier-series surrogate of :func:`project_angle`.
+
+    ``y = sum_{n=1}^{N-1} (-2/n) (-1)^n sin(n x)`` — reference
+    ``gauge_model.py:94-108`` (note the reference's ``range(1, N)`` keeps
+    ``N-1`` terms; we reproduce that).
+    """
+    # Static unroll: n_terms is tiny (default 5) and static, so this is a
+    # fixed fused elementwise expression under jit.
+    y = jnp.zeros_like(x)
+    for n in range(1, n_terms):
+        y = y + (-2.0 / n) * ((-1.0) ** n) * jnp.sin(n * x)
+    return y
+
+
+def topological_charge(links: jax.Array) -> jax.Array:
+    """Exact (non-differentiable) topological charge per sample.
+
+    ``Q = sum proj(P) / 2pi`` — reference ``gauge_model.py:703-717``.
+    Returns float; near-integer by construction.
+    """
+    return jnp.sum(project_angle(plaq_sums(links)), axis=(-2, -1)) / TWO_PI
+
+
+def topological_charge_approx(links: jax.Array, n_terms: int = 5) -> jax.Array:
+    """Differentiable topological charge via the Fourier surrogate."""
+    p = plaq_sums(links)
+    return jnp.sum(project_angle_approx(p, n_terms), axis=(-2, -1)) / TWO_PI
+
+
+def charge_diff(x1: jax.Array, x2: jax.Array, shape: LatticeShape) -> jax.Array:
+    """|Q(x1) - Q(x2)| with exact projection (``gauge_model.py:719-726``)."""
+    q1 = topological_charge(to_links(x1, shape))
+    q2 = topological_charge(to_links(x2, shape))
+    return jnp.abs(q1 - q2)
+
+
+def charge_diff_approx(
+    x1: jax.Array, x2: jax.Array, shape: LatticeShape, n_terms: int = 5
+) -> jax.Array:
+    """|Q(x1) - Q(x2)| with the differentiable surrogate (loss path)."""
+    q1 = topological_charge_approx(to_links(x1, shape), n_terms)
+    q2 = topological_charge_approx(to_links(x2, shape), n_terms)
+    return jnp.abs(q1 - q2)
+
+
+def u1_plaq_exact(beta) -> jax.Array:
+    """Analytic infinite-volume average plaquette ``I1(beta)/I0(beta)``.
+
+    The correctness oracle printed next to the measured plaquette in the
+    reference (``lattice/lattice.py:31-33``).  Uses exponentially-scaled
+    Bessel functions so large beta stays finite: ``I1(b)/I0(b) = i1e/i0e``.
+    """
+    beta = jnp.asarray(beta, dtype=jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    return jax.scipy.special.i1e(beta) / jax.scipy.special.i0e(beta)
+
+
+def make_potential_fn(shape: LatticeShape):
+    """Return ``U(x) -> per-sample Wilson action`` on flat states.
+
+    The L1->L3 interface contract of the reference
+    (``lattice/lattice.py:274-283``): dynamics consume a pure energy
+    function of the flat state.  Multiply by beta at the call site (the
+    dynamics own beta, reference ``dynamics/gauge_dynamics.py:674-680``).
+    """
+
+    def potential(x: jax.Array) -> jax.Array:
+        return wilson_action(to_links(x, shape))
+
+    return potential
+
+
+def random_links(key: jax.Array, n: int, shape: LatticeShape, method: str = "uniform") -> jax.Array:
+    """Batch of ``n`` random flat link configurations in ``[-pi, pi)``.
+
+    Mirrors the 'hot' initialization of ``lattice/lattice.py:152-157``.
+    ``method='zeros'`` gives a cold start.
+    """
+    if method == "zeros":
+        return jnp.zeros((n, shape.num_links), dtype=jnp.float32)
+    return jax.random.uniform(
+        key, (n, shape.num_links), minval=-np.pi, maxval=np.pi, dtype=jnp.float32
+    )
+
+
+def wrap(x: jax.Array) -> jax.Array:
+    """Wrap angles into ``[-pi, pi)``.
+
+    The reference re-wraps on the *host* every training step
+    (``gauge_model.py:1180``: ``np.mod(samples, 2*pi)``); we keep the wrap
+    inside the jitted step (device-side, fused) as SURVEY §7.2(4) directs.
+    """
+    return project_angle(x)
+
+
+# ---------------------------------------------------------------------------
+# Observables bundle (one fused pass for the metrics table)
+# ---------------------------------------------------------------------------
+
+
+def observables(x: jax.Array, shape: LatticeShape, beta=None):
+    """Compute {action, avg_plaquette, topological charge} in one pass.
+
+    Replaces the reference's separate observable ops
+    (``gauge_model.py:256-266``) with a single fused computation: one
+    plaq-sum evaluation feeds all three reductions.
+    """
+    links = to_links(x, shape)
+    p = plaq_sums(links)
+    cos_p = jnp.cos(p)
+    out = {
+        "actions": jnp.sum(1.0 - cos_p, axis=(-2, -1)),
+        "plaqs": jnp.mean(cos_p, axis=(-2, -1)),
+        "charges": jnp.round(
+            jnp.sum(project_angle(p), axis=(-2, -1)) / TWO_PI
+        ),
+    }
+    if beta is not None:
+        out["plaqs_exact"] = u1_plaq_exact(beta)
+    return out

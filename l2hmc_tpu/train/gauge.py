@@ -1,0 +1,311 @@
+"""U(1) lattice gauge L2HMC trainer — the ``GaugeModel`` equivalent.
+
+Rebuild of the main trainer (``gauge_model.py:185-2033``) as pure jitted
+functions around a single :class:`TrainState` pytree:
+
+- loss graph: dynamics on ``x`` and on auxiliary ``z ~ N(0,1)``, squared-jump
+  ESS loss + Fourier-surrogate topological-charge loss
+  (``gauge_model.py:728-797``),
+- Adam with exponential lr decay and global-norm clipping
+  (``gauge_model.py:799-832,929-945``),
+- beta annealed linearly in 1/beta (``gauge_model.py:1039-1046``),
+- the mod-2pi rewrap kept on-device inside the step (the reference does it
+  on host every step, ``gauge_model.py:1180``),
+- training chunked into ``lax.scan`` blocks so the host sees one dispatch
+  per logging period instead of one ``sess.run`` per step
+  (``gauge_model.py:1163-1177``).
+
+Distribution: chain batch is sharded over the mesh 'data' axis by
+``l2hmc_tpu.parallel``; the gradient mean over chains is a single global
+reduction XLA lowers to a psum over ICI — no Horovod-style optimizer wrapper
+(SURVEY §5.8).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from l2hmc_tpu.dynamics.l2hmc import (
+    DynamicsConfig,
+    DynamicsParams,
+    get_eps,
+    init_dynamics_params,
+    make_dynamics,
+)
+from l2hmc_tpu.lattice import u1
+from l2hmc_tpu.networks.nets import (
+    ConvNetSpec,
+    MLPNetSpec,
+    make_conv_net,
+    make_mlp_net,
+)
+from l2hmc_tpu.train import losses, schedules
+
+
+@dataclasses.dataclass(frozen=True)
+class GaugeConfig:
+    """Static configuration (reference PARAMS, ``globals.py:17-62`` +
+    ``gauge_model_args.txt``)."""
+
+    time_size: int = 8
+    space_size: int = 8
+    num_chains: int = 128            # reference num_samples
+    num_steps: int = 3               # leapfrog steps (args.txt: 3)
+    eps_init: float = 0.35
+    eps_trainable: bool = True
+    hmc: bool = False
+    network_arch: str = "conv"       # 'conv' | 'mlp' | 'zero'
+    num_hidden: int = 0              # 0 -> 2 * x_dim (gauge_dynamics.py:129)
+    num_filters: int = 8
+    use_bf16: bool = False
+    # loss
+    metric: str = "cos_diff"
+    loss_scale: float = 0.1
+    std_weight: float = 1.0
+    aux_weight: float = 1.0
+    charge_weight: float = 1.0
+    # optimization
+    lr_init: float = 1e-3
+    lr_decay_steps: int = 1000
+    lr_decay_rate: float = 0.96
+    clip_value: float = 1.0          # 0 -> no clipping
+    train_steps: int = 5000
+    # annealing
+    beta_init: float = 2.0
+    beta_final: float = 4.0
+    # both_directions debug parity mode
+    both_directions: bool = False
+
+    @property
+    def shape(self) -> u1.LatticeShape:
+        return u1.LatticeShape(self.time_size, self.space_size)
+
+    @property
+    def x_dim(self) -> int:
+        return self.shape.x_dim
+
+    @property
+    def hidden(self) -> int:
+        return self.num_hidden if self.num_hidden > 0 else 2 * self.x_dim
+
+
+class TrainState(NamedTuple):
+    """Everything that evolves during training — one checkpointable pytree
+    (SURVEY §5.4: single source of truth, vs the reference's three
+    overlapping mechanisms)."""
+
+    params: DynamicsParams
+    opt_state: Any
+    x: jax.Array          # (num_chains, x_dim) current chain state
+    step: jax.Array       # int32
+
+
+def build_networks(cfg: GaugeConfig):
+    """XNet (position, factor=2) and VNet (momentum, factor=1) —
+    ``gauge_dynamics.py:121-187``."""
+    if cfg.network_arch == "mlp":
+        xi, xa = make_mlp_net(
+            MLPNetSpec(cfg.x_dim, cfg.hidden, factor=2.0, use_bf16=cfg.use_bf16)
+        )
+        vi, va = make_mlp_net(
+            MLPNetSpec(cfg.x_dim, cfg.hidden, factor=1.0, use_bf16=cfg.use_bf16)
+        )
+    elif cfg.network_arch == "conv":
+        xi, xa = make_conv_net(ConvNetSpec(
+            cfg.time_size, cfg.space_size, num_filters=cfg.num_filters,
+            num_hidden=cfg.hidden, factor=2.0, use_bf16=cfg.use_bf16,
+        ))
+        vi, va = make_conv_net(ConvNetSpec(
+            cfg.time_size, cfg.space_size, num_filters=cfg.num_filters,
+            num_hidden=cfg.hidden, factor=1.0, use_bf16=cfg.use_bf16,
+        ))
+    elif cfg.network_arch == "zero":
+        from l2hmc_tpu.networks.nets import make_zero_net
+
+        xi, xa = make_zero_net(cfg.x_dim)
+        vi, va = make_zero_net(cfg.x_dim)
+    else:
+        raise ValueError(f"network_arch={cfg.network_arch!r}")
+    return (xi, xa), (vi, va)
+
+
+def build_dynamics(cfg: GaugeConfig):
+    dyn_cfg = DynamicsConfig(
+        x_dim=cfg.x_dim,
+        num_steps=cfg.num_steps,
+        eps_trainable=cfg.eps_trainable,
+        hmc=cfg.hmc,
+        both_directions=cfg.both_directions,
+    )
+    (xi, xa), (vi, va) = build_networks(cfg)
+    potential = u1.make_potential_fn(cfg.shape)
+    dyn = make_dynamics(dyn_cfg, potential, xa, va)
+    return dyn_cfg, dyn, (xi, vi)
+
+
+def make_optimizer(cfg: GaugeConfig):
+    lr = schedules.make_lr_schedule(cfg.lr_init, cfg.lr_decay_steps, cfg.lr_decay_rate)
+    chain = []
+    if cfg.clip_value > 0:
+        chain.append(optax.clip_by_global_norm(cfg.clip_value))
+    chain.append(optax.adam(lr))
+    tx = optax.chain(*chain)
+    if not cfg.eps_trainable:
+        # freeze raw_eps: mask it out of the optimizer update
+        def mask(params):
+            return params._replace(
+                xnet=jax.tree.map(lambda _: True, params.xnet),
+                vnet=jax.tree.map(lambda _: True, params.vnet),
+                raw_eps=False,
+                masks=False,
+            )
+        tx = optax.masked(tx, mask)
+    return tx
+
+
+def init_train_state(cfg: GaugeConfig, key: jax.Array) -> TrainState:
+    kp, kx = jax.random.split(key)
+    dyn_cfg, dyn, (xnet_init, vnet_init) = build_dynamics(cfg)
+    params = init_dynamics_params(kp, dyn_cfg, xnet_init, vnet_init, cfg.eps_init)
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(_trainable(params))
+    x = u1.random_links(kx, cfg.num_chains, cfg.shape)
+    return TrainState(params=params, opt_state=opt_state, x=x,
+                      step=jnp.asarray(0, jnp.int32))
+
+
+def _trainable(params: DynamicsParams) -> DynamicsParams:
+    """The masks are fixed buffers, not trainable; keep them out of optax
+    by zero-ing their gradient instead of restructuring the pytree."""
+    return params
+
+
+def make_loss_fn(cfg: GaugeConfig, dyn):
+    metric_fn = losses.get_metric_fn(cfg.metric)
+    shape = cfg.shape
+
+    def loss_fn(params: DynamicsParams, x: jax.Array, beta, key: jax.Array):
+        kx, kz, kzi = jax.random.split(key, 3)
+        out_x = dyn["transition"](params, x, beta, kx)
+        z = jax.random.normal(kzi, x.shape, x.dtype)
+        out_z = dyn["transition"](params, z, beta, kz)
+
+        loss = losses.esjd_loss(
+            x, out_x.x_proposed, out_x.accept_prob,
+            z, out_z.x_proposed, out_z.accept_prob,
+            metric_fn=metric_fn, loss_scale=cfg.loss_scale,
+            aux_weight=cfg.aux_weight, std_weight=cfg.std_weight,
+        )
+        if cfg.charge_weight > 0:
+            dq_x = u1.charge_diff_approx(x, out_x.x_proposed, shape)
+            # NOTE: the reference computes the z charge term against the
+            # x-chain proposal (``z_dq_fft = diff(z, x_)``,
+            # gauge_model.py:788) — almost certainly a typo for the z-chain
+            # proposal.  We use the z proposal; set charge_weight=0 to
+            # remove the term entirely.
+            dq_z = u1.charge_diff_approx(z, out_z.x_proposed, shape)
+            loss = loss + losses.charge_loss(
+                dq_x, out_x.accept_prob, dq_z, out_z.accept_prob,
+                charge_weight=cfg.charge_weight, aux_weight=cfg.aux_weight,
+            )
+
+        aux = {
+            "x_out": out_x.x_out,
+            "accept_prob": jnp.mean(out_x.accept_prob),
+            "dq": jnp.mean(u1.charge_diff(x, out_x.x_out, shape)),
+        }
+        return loss, aux
+
+    return loss_fn
+
+
+def make_train_step(cfg: GaugeConfig):
+    """Build the jitted single-step update ``(state, key) -> (state, metrics)``."""
+    dyn_cfg, dyn, _ = build_dynamics(cfg)
+    loss_fn = make_loss_fn(cfg, dyn)
+    tx = make_optimizer(cfg)
+    lr_sched = schedules.make_lr_schedule(
+        cfg.lr_init, cfg.lr_decay_steps, cfg.lr_decay_rate
+    )
+
+    def train_step(state: TrainState, key: jax.Array):
+        beta = schedules.beta_schedule(
+            state.step, cfg.train_steps, cfg.beta_init, cfg.beta_final
+        )
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.x, beta, key
+        )
+        # masks are constant buffers: null their grads
+        grads = grads._replace(masks=jnp.zeros_like(grads.masks))
+        if not cfg.eps_trainable:
+            grads = grads._replace(raw_eps=jnp.zeros_like(grads.raw_eps))
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        x_new = u1.wrap(aux["x_out"])
+        obs = u1.observables(x_new, cfg.shape)
+        metrics = {
+            "loss": loss,
+            "accept_prob": aux["accept_prob"],
+            "dq": aux["dq"],
+            "eps": get_eps(params, dyn_cfg),
+            "beta": beta,
+            "lr": lr_sched(state.step),
+            "actions": jnp.mean(obs["actions"]),
+            "plaqs": jnp.mean(obs["plaqs"]),
+            "charges2": jnp.mean(jnp.square(obs["charges"])),
+        }
+        new_state = TrainState(
+            params=params, opt_state=opt_state, x=x_new, step=state.step + 1
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_train_chunk(cfg: GaugeConfig, chunk_size: int):
+    """Scan ``chunk_size`` train steps in one device program.
+
+    One host dispatch + one metrics transfer per chunk — the TPU-native
+    answer to the reference's per-step ``sess.run`` with 10 fetches.
+    """
+    step_fn = make_train_step(cfg)
+
+    @jax.jit
+    def chunk(state: TrainState, key: jax.Array):
+        keys = jax.random.split(key, chunk_size)
+        return jax.lax.scan(step_fn, state, keys)
+
+    return chunk
+
+
+def make_eval_chunk(cfg: GaugeConfig, chunk_size: int):
+    """Sampling-only chunk (no grads) for in-training evaluation and the
+    post-training ``run`` protocol (``gauge_model.py:1304-1460``)."""
+    _, dyn, _ = build_dynamics(cfg)
+    shape = cfg.shape
+
+    @jax.jit
+    def chunk(params: DynamicsParams, x: jax.Array, beta, key: jax.Array):
+        def body(x, k):
+            out = dyn["transition"](params, x, beta, k)
+            x_new = u1.wrap(out.x_out)
+            obs = u1.observables(x_new, shape)
+            step_metrics = {
+                "accept_prob": out.accept_prob,
+                "actions": obs["actions"],
+                "plaqs": obs["plaqs"],
+                "charges": obs["charges"],
+            }
+            return x_new, step_metrics
+
+        keys = jax.random.split(key, chunk_size)
+        return jax.lax.scan(body, x, keys)
+
+    return chunk

@@ -1,0 +1,141 @@
+"""Training losses for the learned sampler.
+
+Rebuild of the reference loss layer (L4, SURVEY §1):
+
+- the "ESS-style" squared-jump loss with auxiliary z-term
+  (``gauge_model.py:728-797``, ``mog_model.py:324-355``),
+- the topological-charge loss with the differentiable Fourier surrogate
+  (``gauge_model.py:766-795``),
+- the metric zoo (``gauge_model.py:631-657``),
+- the standalone loss registry used by the VAE path (``utils/losses.py:26-59``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+MetricFn = Callable[[jax.Array, jax.Array], jax.Array]
+
+LOSS_EPS = 1e-3  # additive stabilizer, reference gauge_model.py:745 (eps=1e-3)
+
+
+def get_metric_fn(metric: str) -> MetricFn:
+    """Distance metrics between configurations (``gauge_model.py:631-657``)."""
+    if metric == "l1":
+        return lambda x1, x2: jnp.abs(x1 - x2)
+    if metric == "l2":
+        return lambda x1, x2: jnp.square(x1 - x2)
+    if metric == "cos":
+        return lambda x1, x2: jnp.abs(jnp.cos(x1) - jnp.cos(x2))
+    if metric == "cos2":
+        return lambda x1, x2: jnp.square(jnp.cos(x1) - jnp.cos(x2))
+    if metric == "cos_diff":
+        return lambda x1, x2: 1.0 - jnp.cos(x1 - x2)
+    raise ValueError(
+        f"metric={metric!r}; expected l1|l2|cos|cos2|cos_diff"
+    )
+
+
+def esjd_loss(
+    x: jax.Array,
+    x_proposed: jax.Array,
+    accept_prob: jax.Array,
+    z: jax.Array,
+    z_proposed: jax.Array,
+    z_accept_prob: jax.Array,
+    metric_fn: MetricFn,
+    loss_scale: float = 0.1,
+    aux_weight: float = 1.0,
+    std_weight: float = 1.0,
+) -> jax.Array:
+    """Expected-squared-jump loss with reciprocal term and auxiliary chains.
+
+    Exact reference semantics (``gauge_model.py:766-781``)::
+
+        dx = sum_i metric(x, x')_i * px + 1e-3          (per chain)
+        dz = aux_weight * (sum_i metric(z, z')_i * pz + 1e-3)
+        loss = mean( ls*(1/dx + 1/dz) - (dx + dz)/ls ) * std_weight
+
+    The reciprocal term pushes *every* chain to move (punishes the slowest);
+    the negative term rewards large average jumps — the paper's lambda-scaled
+    ESS surrogate.
+    """
+    dx = jnp.sum(metric_fn(x, x_proposed), axis=-1) * accept_prob + LOSS_EPS
+    dz = aux_weight * (
+        jnp.sum(metric_fn(z, z_proposed), axis=-1) * z_accept_prob + LOSS_EPS
+    )
+    ls = loss_scale
+    per_chain = ls * (1.0 / dx + 1.0 / dz) - (dx + dz) / ls
+    return std_weight * jnp.mean(per_chain)
+
+
+def charge_loss(
+    dq_x: jax.Array,
+    accept_prob: jax.Array,
+    dq_z: jax.Array,
+    z_accept_prob: jax.Array,
+    charge_weight: float = 1.0,
+    aux_weight: float = 1.0,
+) -> jax.Array:
+    """Topological-charge loss (``gauge_model.py:783-795``).
+
+    ``dq_*`` are |Q(x) - Q(x')| computed with the *differentiable* Fourier
+    surrogate.  NOTE the reference sign convention: the loss *rewards* charge
+    movement by ... actually it *adds* ``px * dq``, i.e. maximizing dq
+    requires the negative; the reference adds it positively but then the
+    total loss is minimized — reproducing the reference exactly: loss +=
+    charge_weight * mean(px*dq_x + aux*pz*dq_z).  (The fork's intent is
+    debated; we keep parity and expose the weight's sign to the user.)
+    """
+    xq = accept_prob * dq_x + LOSS_EPS
+    zq = aux_weight * (z_accept_prob * dq_z + LOSS_EPS)
+    return charge_weight * jnp.mean(xq + zq)
+
+
+# ---------------------------------------------------------------------------
+# Standalone loss registry (VAE path parity: utils/losses.py:26-59)
+# ---------------------------------------------------------------------------
+
+
+def loss_vec(x, x_proposed, accept_prob, r=1.0):
+    """Per-chain squared-jump * accept (+r stabilizer) (``utils/losses.py:36``)."""
+    return jnp.sum(jnp.square(x - x_proposed), axis=-1) * accept_prob + 1e-4
+
+
+def loss_std(x, x_proposed, accept_prob, scale=1.0):
+    v = loss_vec(x, x_proposed, accept_prob)
+    return jnp.mean(scale / v - v / scale)
+
+
+def loss_inverse(x, x_proposed, accept_prob, scale=1.0):
+    v = loss_vec(x, x_proposed, accept_prob)
+    return jnp.mean(scale / v)
+
+
+def loss_logsumexp(x, x_proposed, accept_prob, scale=1.0):
+    v = loss_vec(x, x_proposed, accept_prob)
+    return jax.scipy.special.logsumexp(jnp.log(scale) - jnp.log(v))
+
+
+def loss_mixed(x, x_proposed, accept_prob, scale=1.0):
+    v = loss_vec(x, x_proposed, accept_prob)
+    return jnp.mean(scale / v) - jnp.mean(v / scale)
+
+
+LOSS_REGISTRY: Dict[str, Callable] = {
+    "standard": loss_std,
+    "inverse": loss_inverse,
+    "logsumexp": loss_logsumexp,
+    "mixed": loss_mixed,
+}
+
+
+def get_loss(name: str) -> Callable:
+    """Loss registry lookup (``utils/losses.py:26-34``)."""
+    try:
+        return LOSS_REGISTRY[name]
+    except KeyError:
+        raise ValueError(f"loss={name!r}; expected one of {sorted(LOSS_REGISTRY)}")

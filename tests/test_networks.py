@@ -1,0 +1,124 @@
+"""Network tests: shapes, init scaling, head semantics, and — the property
+the reference never had — periodic (toroidal) equivariance of the CNN."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from l2hmc_tpu.networks.nets import (
+    ConvNetSpec,
+    MLPNetSpec,
+    make_conv_net,
+    make_mlp_net,
+    make_zero_net,
+    periodic_pad_2d,
+)
+
+
+def test_mlp_shapes_and_heads(key):
+    spec = MLPNetSpec(x_dim=16, num_hidden=32, factor=2.0)
+    init, apply = make_mlp_net(spec)
+    params = init(key)
+    v = jax.random.normal(key, (5, 16))
+    x = jax.random.normal(jax.random.fold_in(key, 1), (5, 16))
+    t = jnp.tile(jnp.array([[1.0, 0.0]]), (5, 1))
+    s, tr, q = apply(params, v, x, t)
+    assert s.shape == tr.shape == q.shape == (5, 16)
+    # scale head bounded by exp(coeff_scale)=1 at init (tanh * exp(0))
+    assert jnp.max(jnp.abs(s)) <= 1.0 + 1e-6
+    # heads are near zero at init (0.001 factor init)
+    assert float(jnp.std(s)) < 0.1
+    assert float(jnp.std(tr)) < 0.1
+    assert float(jnp.std(q)) < 0.1
+
+
+def test_mlp_head_formulas(key):
+    """scale = tanh(.)*exp(coeff_scale): scaling coeff_scale scales output."""
+    spec = MLPNetSpec(x_dim=8, num_hidden=16)
+    init, apply = make_mlp_net(spec)
+    params = init(key)
+    v = jax.random.normal(key, (3, 8))
+    x = jax.random.normal(jax.random.fold_in(key, 2), (3, 8))
+    t = jnp.zeros((3, 2))
+    s1, _, q1 = apply(params, v, x, t)
+    params2 = {**params, "coeff_scale": params["coeff_scale"] + 1.0}
+    s2, _, _ = apply(params2, v, x, t)
+    np.testing.assert_allclose(s2, s1 * np.e, rtol=1e-5, atol=1e-6)
+
+
+def test_zero_net(key):
+    init, apply = make_zero_net(8)
+    s, t, q = apply(init(key), jnp.ones((2, 8)), jnp.ones((2, 8)), jnp.zeros((2, 2)))
+    assert float(jnp.sum(jnp.abs(s) + jnp.abs(t) + jnp.abs(q))) == 0.0
+
+
+def test_periodic_pad():
+    x = jnp.arange(2 * 4 * 4 * 1, dtype=jnp.float32).reshape(2, 4, 4, 1)
+    y = periodic_pad_2d(x, 3)  # pad 1 both sides
+    assert y.shape == (2, 6, 6, 1)
+    np.testing.assert_allclose(y[:, 0, 1:5], x[:, -1])
+    np.testing.assert_allclose(y[:, -1, 1:5], x[:, 0])
+    y2 = periodic_pad_2d(x, 2)  # pad 0 left, 1 right
+    assert y2.shape == (2, 5, 5, 1)
+    np.testing.assert_allclose(y2[:, -1, :4], x[:, 0])
+
+
+@pytest.mark.parametrize("lt,lx", [(8, 8), (16, 16), (6, 10)])
+def test_conv_shapes(key, lt, lx):
+    spec = ConvNetSpec(time_size=lt, space_size=lx, num_filters=4, num_hidden=32)
+    init, apply = make_conv_net(spec)
+    params = init(key)
+    d = spec.x_dim
+    v = jax.random.normal(key, (3, d))
+    x = jax.random.normal(jax.random.fold_in(key, 1), (3, d))
+    t = jnp.zeros((3, 2))
+    s, tr, q = apply(params, v, x, t)
+    assert s.shape == tr.shape == q.shape == (3, d)
+
+
+def test_conv_translation_covariant_trunk(key):
+    """The conv stack with periodic padding must commute with lattice
+    translations (up to the stride-2 coset): translating the input field by
+    the stride shifts the conv features identically.  This is the toroidal
+    geometry property the reference's zero-padding breaks."""
+    from l2hmc_tpu.networks.nets import _conv2d_periodic, _conv_init
+
+    p = _conv_init(key, 3, 3, 2, 4)
+    img = jax.random.normal(key, (1, 8, 8, 2))
+    out = _conv2d_periodic(p, img)
+    shifted = jnp.roll(img, shift=(2, 3), axis=(1, 2))
+    out_shifted = _conv2d_periodic(p, shifted)
+    np.testing.assert_allclose(
+        out_shifted, jnp.roll(out, shift=(2, 3), axis=(1, 2)), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_conv_jit_and_grad(key):
+    spec = ConvNetSpec(time_size=8, space_size=8, num_filters=4, num_hidden=32)
+    init, apply = make_conv_net(spec)
+    params = init(key)
+    d = spec.x_dim
+
+    def loss(params):
+        v = jnp.ones((2, d))
+        x = jnp.ones((2, d))
+        t = jnp.zeros((2, 2))
+        s, tr, q = apply(params, v, x, t)
+        return jnp.sum(s**2) + jnp.sum(tr**2) + jnp.sum(q**2)
+
+    g = jax.jit(jax.grad(loss))(params)
+    assert all(jnp.all(jnp.isfinite(l)) for l in jax.tree_util.tree_leaves(g))
+
+
+def test_bf16_compute_close_to_f32(key):
+    spec32 = MLPNetSpec(x_dim=32, num_hidden=64, use_bf16=False)
+    spec16 = MLPNetSpec(x_dim=32, num_hidden=64, use_bf16=True)
+    init, apply32 = make_mlp_net(spec32)
+    _, apply16 = make_mlp_net(spec16)
+    params = init(key)
+    v = jax.random.normal(key, (4, 32))
+    x = jax.random.normal(jax.random.fold_in(key, 3), (4, 32))
+    t = jnp.zeros((4, 2))
+    for a, b in zip(apply32(params, v, x, t), apply16(params, v, x, t)):
+        np.testing.assert_allclose(a, b, atol=0.05, rtol=0.1)
