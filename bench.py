@@ -1,18 +1,20 @@
 """Benchmark: L2HMC sampling throughput on U(1) 16x16 (BASELINE.json north star).
 
 Prints ONE JSON line:
-  {"metric": "leapfrog_steps_per_s_per_chip", "value": N, "unit": "chain-leapfrog-steps/s", "vs_baseline": R}
+  {"metric": "leapfrog_steps_per_s_per_chip", "value": N,
+   "unit": "chain-leapfrog-steps/s", "vs_baseline": R, ...}
 
 - value: (transitions * num_leapfrog_steps * num_chains) / wall_s for the
-  TPU-native fused-direction kernel (CNN networks, eval/sampling path).
-- vs_baseline: speedup vs the *reference dataflow* run on the same chip —
-  the compute-both-directions-and-mask transition the TF implementation uses
-  (``/root/reference/l2hmc/dynamics/gauge_dynamics.py:195-259``), i.e. an
-  apples-to-apples measure of the TPU-first redesign, since the reference
-  repo publishes no numbers of its own (BASELINE.md).
+  TPU-native fused-direction kernel (periodic CNN networks, sampling path).
+- vs_baseline: speedup vs the *reference dataflow* on the same chip — the
+  compute-both-directions-and-mask transition the TF implementation uses
+  (``/root/reference/l2hmc/dynamics/gauge_dynamics.py:195-259``).  The
+  reference repo publishes no numbers of its own (BASELINE.md), so the
+  apples-to-apples baseline is its algorithmic dataflow on this hardware.
 
-Extra context fields are included in the same JSON object (ess diagnostics,
-config); the driver reads the four required keys.
+Timing methodology: the axon platform dispatches asynchronously and
+``block_until_ready`` does not reliably block, so every timed call is
+drained by materializing a scalar reduction of its output.
 """
 
 import json
@@ -24,14 +26,23 @@ sys.path.insert(0, str(Path(__file__).parent))
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
-def bench_transition(cfg, both_directions: bool, iters: int, chunk: int, key):
+def _trace(msg):
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
+CHUNK = 100  # transitions per device program
+
+
+def bench_transition(cfg, both_directions: bool, repeats: int, key):
     from l2hmc_tpu.train import gauge as G
     from l2hmc_tpu.lattice import u1
     import dataclasses
 
     cfg = dataclasses.replace(cfg, both_directions=both_directions)
+    _trace(f"init state (both={both_directions})...")
     state = G.init_train_state(cfg, key)
     _, dyn, _ = G.build_dynamics(cfg)
 
@@ -40,23 +51,27 @@ def bench_transition(cfg, both_directions: bool, iters: int, chunk: int, key):
         def body(x, k):
             out = dyn["transition"](params, x, 4.0, k)
             return u1.wrap(out.x_out), out.accept_prob
-        keys = jax.random.split(key, chunk)
-        return jax.lax.scan(body, x, keys)
+        keys = jax.random.split(key, CHUNK)
+        x, probs = jax.lax.scan(body, x, keys)
+        # scalar digest: draining this forces the whole chunk to execute
+        return x, jnp.mean(probs), jnp.sum(x)
 
     x = u1.random_links(key, cfg.num_chains, cfg.shape)
-    # warmup + compile
-    x_out, probs = sample_chunk(state.params, x, key)
-    jax.block_until_ready(x_out)
+    _trace("compiling + warmup...")
+    x, acc, digest = sample_chunk(state.params, x, key)
+    float(digest)  # drain
+    _trace("warm; timing...")
 
-    t0 = time.perf_counter()
-    for i in range(iters):
+    best = float("inf")
+    for i in range(repeats):
         key, sub = jax.random.split(key)
-        x, probs = sample_chunk(state.params, x, sub)
-    jax.block_until_ready(x)
-    dt = time.perf_counter() - t0
-    transitions = iters * chunk
-    lf_steps = transitions * cfg.num_steps * cfg.num_chains
-    return lf_steps / dt, float(probs.mean()), dt
+        t0 = time.perf_counter()
+        x, acc, digest = sample_chunk(state.params, x, sub)
+        float(digest)  # drain
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+    lf_steps = CHUNK * cfg.num_steps * cfg.num_chains
+    return lf_steps / best, float(acc), best
 
 
 def main():
@@ -64,12 +79,14 @@ def main():
 
     cfg = GaugeConfig(
         time_size=16, space_size=16, num_chains=128, num_steps=3,
-        network_arch="conv", num_filters=8,
+        network_arch="conv", num_filters=8, eps_init=0.1,
     )
     key = jax.random.PRNGKey(42)
 
-    fused_rate, acc, dt = bench_transition(cfg, False, iters=5, chunk=100, key=key)
-    ref_rate, _, _ = bench_transition(cfg, True, iters=2, chunk=100, key=key)
+    fused_rate, acc, dt = bench_transition(cfg, False, repeats=5, key=key)
+    _trace(f"fused: {fused_rate:,.0f} lf-steps/s ({dt*1e3/CHUNK:.3f} ms/transition)")
+    ref_rate, _, dt_ref = bench_transition(cfg, True, repeats=3, key=key)
+    _trace(f"reference-dataflow: {ref_rate:,.0f} lf-steps/s")
 
     result = {
         "metric": "leapfrog_steps_per_s_per_chip",
@@ -78,7 +95,8 @@ def main():
         "vs_baseline": round(fused_rate / ref_rate, 3),
         "config": "U(1) 16x16, 128 chains, 3 leapfrog steps, periodic CNN, beta=4",
         "baseline_def": "reference dataflow (compute both directions + mask) on same chip",
-        "accept_prob": round(acc, 4),
+        "ms_per_transition": round(dt * 1e3 / CHUNK, 4),
+        "accept_prob_untrained": round(acc, 4),
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
     }

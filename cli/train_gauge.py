@@ -1,0 +1,206 @@
+#!/usr/bin/env python
+"""U(1) gauge L2HMC training CLI.
+
+Rebuild of the reference entry point (``gauge_model.py:2167-2436`` main +
+argparse with ``@argfile`` support): train the learned sampler, run periodic
+in-training evaluations, checkpoint, and finish with the long eval protocol
+(20k/50k steps at beta_final and beta_final-1, ``gauge_model.py:2142-2148``
+— here configurable via --run_steps).
+
+Usage:
+    python cli/train_gauge.py @configs/l8_train.txt
+    python cli/train_gauge.py --space_size 8 --train_steps 5000 --hmc
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description=__doc__, fromfile_prefix_chars="@",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    # lattice / dynamics (names follow the reference flags)
+    p.add_argument("--time_size", type=int, default=8)
+    p.add_argument("--space_size", type=int, default=8)
+    p.add_argument("--num_samples", type=int, default=128, help="number of chains")
+    p.add_argument("--num_steps", type=int, default=3, help="leapfrog steps")
+    p.add_argument("--eps", type=float, default=0.35, help="initial step size")
+    p.add_argument("--eps_fixed", action="store_true", help="freeze step size")
+    p.add_argument("--hmc", action="store_true", help="plain-HMC mode (zero nets)")
+    p.add_argument("--network_arch", default="conv", choices=["conv", "mlp", "zero"])
+    p.add_argument("--num_hidden", type=int, default=0, help="0 -> 2*x_dim")
+    p.add_argument("--num_filters", type=int, default=8)
+    p.add_argument("--bf16", action="store_true", help="bfloat16 network matmuls")
+    # loss
+    p.add_argument("--metric", default="cos_diff")
+    p.add_argument("--loss_scale", type=float, default=0.1)
+    p.add_argument("--std_weight", type=float, default=1.0)
+    p.add_argument("--aux_weight", type=float, default=1.0)
+    p.add_argument("--charge_weight", type=float, default=1.0)
+    # optimization / annealing
+    p.add_argument("--lr_init", type=float, default=1e-3)
+    p.add_argument("--lr_decay_steps", type=int, default=1000)
+    p.add_argument("--lr_decay_rate", type=float, default=0.96)
+    p.add_argument("--clip_value", type=float, default=1.0)
+    p.add_argument("--train_steps", type=int, default=5000)
+    p.add_argument("--beta_init", type=float, default=2.0)
+    p.add_argument("--beta_final", type=float, default=4.0)
+    # run management
+    p.add_argument("--log_dir", default="runs/gauge")
+    p.add_argument("--logging_steps", type=int, default=50)
+    p.add_argument("--save_steps", type=int, default=1000)
+    p.add_argument("--eval_steps", type=int, default=0,
+                   help="in-training eval every N steps (0=off)")
+    p.add_argument("--run_steps", type=int, default=2000,
+                   help="post-training eval steps per beta")
+    p.add_argument("--restore", action="store_true")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--profile", action="store_true",
+                   help="jax.profiler trace of steps 10-20")
+    return p
+
+
+def flags_to_config(a):
+    from l2hmc_tpu.train.gauge import GaugeConfig
+
+    return GaugeConfig(
+        time_size=a.time_size, space_size=a.space_size,
+        num_chains=a.num_samples, num_steps=a.num_steps, eps_init=a.eps,
+        eps_trainable=not a.eps_fixed, hmc=a.hmc,
+        network_arch="zero" if a.hmc else a.network_arch,
+        num_hidden=a.num_hidden, num_filters=a.num_filters, use_bf16=a.bf16,
+        metric=a.metric, loss_scale=a.loss_scale, std_weight=a.std_weight,
+        aux_weight=a.aux_weight, charge_weight=a.charge_weight,
+        lr_init=a.lr_init, lr_decay_steps=a.lr_decay_steps,
+        lr_decay_rate=a.lr_decay_rate, clip_value=a.clip_value,
+        train_steps=a.train_steps, beta_init=a.beta_init,
+        beta_final=a.beta_final,
+    )
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from l2hmc_tpu.analysis import stats
+    from l2hmc_tpu.lattice import u1
+    from l2hmc_tpu.parallel.mesh import (
+        get_mesh, initialize_distributed, shard_train_state,
+    )
+    from l2hmc_tpu.train import checkpoint as ckpt
+    from l2hmc_tpu.train.gauge import (
+        init_train_state, make_eval_chunk, make_train_chunk,
+    )
+    from l2hmc_tpu.utils.io import MetricsLogger, log, make_run_dir, save_params_json
+
+    initialize_distributed()
+    cfg = flags_to_config(args)
+    key = jax.random.PRNGKey(args.seed)
+
+    run_dir = make_run_dir(args.log_dir)
+    save_params_json(run_dir, vars(args))
+    log(f"run dir: {run_dir}")
+    log(f"devices: {jax.devices()}")
+
+    state = init_train_state(cfg, key)
+    start_step = 0
+    ckpt_dir = run_dir / "checkpoints"
+    if args.restore:
+        # restore from the latest run that has checkpoints
+        prev = sorted(Path(args.log_dir).glob("run_*/checkpoints"))
+        if prev:
+            ckpt_src = prev[-1]
+            step = ckpt.latest_step(ckpt_src)
+            if step is not None:
+                state = ckpt.restore_checkpoint(ckpt_src, state)
+                start_step = int(state.step)
+                log(f"restored step {start_step} from {ckpt_src}")
+
+    if jax.device_count() > 1:
+        mesh = get_mesh()
+        state = shard_train_state(state, mesh)
+        log(f"mesh: {mesh}")
+
+    chunk_size = args.logging_steps
+    train_chunk = make_train_chunk(cfg, chunk_size)
+    eval_chunk = make_eval_chunk(cfg, 500) if args.eval_steps else None
+
+    logger = MetricsLogger(run_dir, print_every=1)
+    n_chunks = max((cfg.train_steps - start_step) // chunk_size, 0)
+    t_prev = time.perf_counter()
+    for c in range(n_chunks):
+        key, sub = jax.random.split(key)
+        if args.profile and c == 0:
+            with jax.profiler.trace(str(run_dir / "profile")):
+                state, metrics = train_chunk(state, sub)
+                jax.block_until_ready(state.x)
+        else:
+            state, metrics = train_chunk(state, sub)
+        step = int(state.step)
+        t_now = time.perf_counter()
+        rec = {k: float(np.asarray(v)[-1]) for k, v in metrics.items()}
+        rec.update(
+            step=step,
+            dt=(t_now - t_prev) / chunk_size,
+            plaq_exact=float(u1.u1_plaq_exact(rec["beta"])),
+        )
+        t_prev = t_now
+        logger.write(rec)
+
+        if args.save_steps and step % args.save_steps < chunk_size:
+            ckpt.save_checkpoint(ckpt_dir, state, step, cfg)
+        if eval_chunk is not None and step % args.eval_steps < chunk_size:
+            key, sub = jax.random.split(key)
+            x_eval = u1.random_links(sub, cfg.num_chains, cfg.shape)
+            _, em = eval_chunk(state.params, x_eval, rec["beta"], sub)
+            log(
+                f"  eval@{step}: acc={float(np.asarray(em['accept_prob']).mean()):.4f} "
+                f"plaq={float(np.asarray(em['plaqs'])[250:].mean()):.5f}"
+            )
+
+    ckpt.save_checkpoint(ckpt_dir, state, int(state.step), cfg)
+
+    # post-training eval protocol (gauge_model.py:2142-2148)
+    if args.run_steps:
+        eval_chunk = make_eval_chunk(cfg, min(args.run_steps, 1000))
+        for beta in (cfg.beta_final, cfg.beta_final - 1.0):
+            key, k0, k1 = jax.random.split(key, 3)
+            x = u1.random_links(k0, cfg.num_chains, cfg.shape)
+            all_metrics = {}
+            done = 0
+            while done < args.run_steps:
+                key, sub = jax.random.split(key)
+                x, em = eval_chunk(state.params, x, beta, sub)
+                for k, v in em.items():
+                    all_metrics.setdefault(k, []).append(np.asarray(v))
+                done += min(args.run_steps, 1000)
+            merged = {k: np.concatenate(v) for k, v in all_metrics.items()}
+            summary = stats.observables_stats(
+                {k: v.mean(axis=-1) for k, v in merged.items()}
+            )
+            summary["plaq_exact"] = float(u1.u1_plaq_exact(beta))
+            out_file = run_dir / f"eval_beta{beta:g}.json"
+            if jax.process_index() == 0:
+                out_file.write_text(json.dumps(summary, indent=2, default=str))
+            log(f"eval beta={beta:g}: plaq={summary['plaqs']['mean']:.5f} "
+                f"(exact {summary['plaq_exact']:.5f}) "
+                f"acc={summary['accept_prob']['mean']:.4f} -> {out_file}")
+
+    logger.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

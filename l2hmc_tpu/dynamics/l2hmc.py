@@ -158,7 +158,7 @@ def make_dynamics(
     """
 
     if cfg.hmc:
-        def zero_net(params, v, x, t):
+        def zero_net(params, v, x, t, aux=None):
             z = jnp.zeros_like(v)
             return z, z, z
         xnet_apply_, vnet_apply_ = zero_net, zero_net
@@ -176,7 +176,7 @@ def make_dynamics(
 
     grad_potential = jax.grad(lambda x, beta: jnp.sum(potential_energy(x, beta)))
 
-    def update_v(params, x, v, beta, tau, d_col, d_row, eps):
+    def update_v(params, x, v, beta, tau, d_col, d_row, eps, aux):
         """Direction-fused momentum half-step.
 
         ``d_col (batch,1)`` / ``d_row (batch,)`` in {+1,-1}.  Shares the
@@ -184,7 +184,7 @@ def make_dynamics(
         are where-selected.
         """
         g = grad_potential(x, beta)
-        s, t, q = vnet_apply_(params.vnet, x, g, tau)
+        s, t, q = vnet_apply_(params.vnet, x, g, tau, aux)
         half_s = 0.5 * eps * s
         a = 0.5 * eps * (jnp.exp(eps * q) * g - t)
         fwd = v * jnp.exp(half_s) - a
@@ -193,9 +193,9 @@ def make_dynamics(
         logdet = d_row * jnp.sum(half_s, axis=-1)
         return v_new, logdet
 
-    def update_x(params, x, v, tau, hold_mask, d_col, d_row, eps):
+    def update_x(params, x, v, tau, hold_mask, d_col, d_row, eps, aux):
         """Direction-fused position step; ``hold_mask`` part stays fixed."""
-        s, t, q = xnet_apply_(params.xnet, v, hold_mask * x, tau)
+        s, t, q = xnet_apply_(params.xnet, v, hold_mask * x, tau, aux)
         es = eps * s
         b = eps * (jnp.exp(eps * q) * v + t)
         fwd = x * jnp.exp(es) + b
@@ -205,7 +205,7 @@ def make_dynamics(
         logdet = d_row * jnp.sum((1.0 - hold_mask) * es, axis=-1)
         return x_new, logdet
 
-    def leapfrog_step(params, x, v, beta, step, d_row, eps):
+    def leapfrog_step(params, x, v, beta, step, d_row, eps, aux):
         """One augmented leapfrog step with per-chain direction ``d_row``.
 
         ``step`` is the scan index; each chain reads masks/time at
@@ -223,25 +223,25 @@ def make_dynamics(
         hold2 = 1.0 - hold1
 
         sumlogdet = jnp.zeros(x.shape[0], x.dtype)
-        v, ld = update_v(params, x, v, beta, tau, d_col, d_row, eps)
+        v, ld = update_v(params, x, v, beta, tau, d_col, d_row, eps, aux)
         sumlogdet += ld
-        x, ld = update_x(params, x, v, tau, hold1, d_col, d_row, eps)
+        x, ld = update_x(params, x, v, tau, hold1, d_col, d_row, eps, aux)
         sumlogdet += ld
-        x, ld = update_x(params, x, v, tau, hold2, d_col, d_row, eps)
+        x, ld = update_x(params, x, v, tau, hold2, d_col, d_row, eps, aux)
         sumlogdet += ld
-        v, ld = update_v(params, x, v, beta, tau, d_col, d_row, eps)
+        v, ld = update_v(params, x, v, beta, tau, d_col, d_row, eps, aux)
         sumlogdet += ld
         return x, v, sumlogdet
 
     step_fn = jax.checkpoint(leapfrog_step, static_argnums=()) if cfg.remat else leapfrog_step
 
-    def integrate(params, x, v, beta, direction):
+    def integrate(params, x, v, beta, direction, aux=None):
         """Run ``num_steps`` leapfrog steps; ``direction (batch,)`` in {+1,-1}."""
         eps = get_eps(params, cfg)
 
         def body(carry, step):
             x, v, logdet = carry
-            x, v, ld = step_fn(params, x, v, beta, step, direction, eps)
+            x, v, ld = step_fn(params, x, v, beta, step, direction, eps, aux)
             return (x, v, logdet + ld), None
 
         init = (x, v, jnp.zeros(x.shape[0], x.dtype))
@@ -257,14 +257,26 @@ def make_dynamics(
         prob = jnp.exp(jnp.minimum(dh, 0.0))
         return jnp.where(jnp.isfinite(prob), prob, jnp.zeros_like(prob))
 
-    def _transition_fused(params, x, beta, key):
+    def _sanitize(x, v, xp, vp):
+        """Replace non-finite proposal entries with the initial state.
+
+        The reference only zeroes NaN *accept probs*
+        (``gauge_dynamics.py:609``) — a NaN proposal then still reaches the
+        loss as ``metric(x, xp) * 0 = NaN`` and poisons the gradients.  Here
+        an overflowed proposal is rejected outright and stays finite.
+        """
+        ok = jnp.all(jnp.isfinite(xp) & jnp.isfinite(vp), axis=-1, keepdims=True)
+        return jnp.where(ok, xp, x), jnp.where(ok, vp, v)
+
+    def _transition_fused(params, x, beta, key, aux=None):
         kv, kd, ka = jax.random.split(key, 3)
         v = jax.random.normal(kv, x.shape, x.dtype)
         direction = jnp.where(
             jax.random.uniform(kd, (x.shape[0],)) > 0.5, 1.0, -1.0
         ).astype(x.dtype)
-        xp, vp, sumlogdet = integrate(params, x, v, beta, direction)
+        xp, vp, sumlogdet = integrate(params, x, v, beta, direction, aux)
         prob = accept_prob_fn(x, v, xp, vp, sumlogdet, beta)
+        xp, vp = _sanitize(x, v, xp, vp)
         accept = (
             jax.random.uniform(ka, prob.shape) < prob
         ).astype(x.dtype)
@@ -275,16 +287,18 @@ def make_dynamics(
             forward_frac=jnp.mean((direction > 0).astype(jnp.float32)),
         )
 
-    def _transition_both(params, x, beta, key):
+    def _transition_both(params, x, beta, key, aux=None):
         """Literal reference dataflow: integrate forward AND backward with the
         same initial momentum, then mask (``gauge_dynamics.py:195-259``)."""
         kv, kd, ka = jax.random.split(key, 3)
         v = jax.random.normal(kv, x.shape, x.dtype)
         ones = jnp.ones(x.shape[0], x.dtype)
-        xf, vf, ldf = integrate(params, x, v, beta, ones)
-        xb, vb, ldb = integrate(params, x, v, beta, -ones)
+        xf, vf, ldf = integrate(params, x, v, beta, ones, aux)
+        xb, vb, ldb = integrate(params, x, v, beta, -ones, aux)
         pf = accept_prob_fn(x, v, xf, vf, ldf, beta)
         pb = accept_prob_fn(x, v, xb, vb, ldb, beta)
+        xf, vf = _sanitize(x, v, xf, vf)
+        xb, vb = _sanitize(x, v, xb, vb)
         fwd = (jax.random.uniform(kd, (x.shape[0],)) > 0.5).astype(x.dtype)
         fwd_col = fwd[:, None]
         xp = fwd_col * xf + (1 - fwd_col) * xb

@@ -76,12 +76,22 @@ def _dense(p: Params, x: jax.Array, compute_dtype=None) -> jax.Array:
 
 @dataclasses.dataclass(frozen=True)
 class MLPNetSpec:
-    """Static architecture spec for the GenericNet-parity MLP."""
+    """Static architecture spec for the GenericNet-parity MLP.
+
+    ``bounded_q=False`` reproduces the gauge fork's GenericNet
+    (``generic_net.py:141-146``: transformation head has NO tanh);
+    ``bounded_q=True`` reproduces the original brain-research network used
+    on the MoG/SCG/VAE paths (``utils/network.py:89-114``: ScaleTanh on both
+    the S and Q heads), which also keeps ``exp(eps*q)`` in the integrator
+    bounded — the unbounded variant can blow up at aggressive learning rates.
+    """
 
     x_dim: int
     num_hidden: int
     factor: float = 1.0  # 2.0 for XNet, 1.0 for VNet (gauge_dynamics.py:169-187)
     use_bf16: bool = False
+    bounded_q: bool = False
+    aux_dim: int = 0  # conditioning input (VAE data batch, utils/dynamics.py:120-170)
 
 
 def make_mlp_net(spec: MLPNetSpec):
@@ -90,9 +100,9 @@ def make_mlp_net(spec: MLPNetSpec):
     compute_dtype = jnp.bfloat16 if spec.use_bf16 else None
 
     def init(key: jax.Array) -> Params:
-        ks = jax.random.split(key, 6)
+        ks = jax.random.split(key, 7)
         h, d = spec.num_hidden, spec.x_dim
-        return {
+        params = {
             # factor conventions: x-embed factor/3, v-embed 1/3, t-embed 1/3,
             # hidden 1.0, heads 0.001 (generic_net.py:37-90).
             "x_layer": _dense_init(ks[0], d, h, spec.factor / 3.0),
@@ -107,23 +117,31 @@ def make_mlp_net(spec: MLPNetSpec):
             "coeff_scale": jnp.zeros((1, d), jnp.float32),
             "coeff_transformation": jnp.zeros((1, d), jnp.float32),
         }
+        if spec.aux_dim > 0:
+            params["aux_layer"] = _dense_init(ks[6], spec.aux_dim, h, 1.0 / 3.0)
+        return params
 
-    def apply(params: Params, v: jax.Array, x: jax.Array, t: jax.Array):
-        # reference call order: net([v, x, t]) (generic_net.py:130-136)
+    def apply(params: Params, v: jax.Array, x: jax.Array, t: jax.Array, aux=None):
+        # reference call order: net([v, x, t]) (generic_net.py:130-136);
+        # optional aux conditioning is summed into the embedding like the
+        # other inputs (utils/dynamics.py:120-170 semantics).
         h = (
             _dense(params["v_layer"], v, compute_dtype)
             + _dense(params["x_layer"], x, compute_dtype)
             + _dense(params["t_layer"], t, compute_dtype)
         )
+        if aux is not None and "aux_layer" in params:
+            h = h + _dense(params["aux_layer"], aux, compute_dtype)
         h = jax.nn.relu(h)
         h = jax.nn.relu(_dense(params["h_layer"], h, compute_dtype))
         scale = jnp.tanh(_dense(params["scale_layer"], h, compute_dtype)) * jnp.exp(
             params["coeff_scale"]
         )
         translation = _dense(params["translation_layer"], h, compute_dtype)
-        transformation = _dense(
-            params["transformation_layer"], h, compute_dtype
-        ) * jnp.exp(params["coeff_transformation"])
+        q_raw = _dense(params["transformation_layer"], h, compute_dtype)
+        if spec.bounded_q:
+            q_raw = jnp.tanh(q_raw)
+        transformation = q_raw * jnp.exp(params["coeff_transformation"])
         return scale, translation, transformation
 
     return init, apply
@@ -256,7 +274,7 @@ def make_conv_net(spec: ConvNetSpec):
         y = jax.nn.relu(y)
         return y.reshape(flat.shape[0], -1)
 
-    def apply(params: Params, v: jax.Array, x: jax.Array, t: jax.Array):
+    def apply(params: Params, v: jax.Array, x: jax.Array, t: jax.Array, aux=None):
         xc = conv_stack(params["conv_x1"], params["conv_x2"], x)
         vc = conv_stack(params["conv_v1"], params["conv_v2"], v)
         hh = (
@@ -289,7 +307,7 @@ def make_zero_net(x_dim: int):
     def init(key: jax.Array) -> Params:
         return {}
 
-    def apply(params: Params, v: jax.Array, x: jax.Array, t: jax.Array):
+    def apply(params: Params, v: jax.Array, x: jax.Array, t: jax.Array, aux=None):
         z = jnp.zeros_like(v)
         return z, z, z
 

@@ -151,7 +151,9 @@ def build_dynamics(cfg: GaugeConfig):
 
 def make_optimizer(cfg: GaugeConfig):
     lr = schedules.make_lr_schedule(cfg.lr_init, cfg.lr_decay_steps, cfg.lr_decay_rate)
-    chain = []
+    # zero_nans: one non-finite grad step must not poison params (the
+    # reference's check_numerics would abort instead).
+    chain = [optax.zero_nans()]
     if cfg.clip_value > 0:
         chain.append(optax.clip_by_global_norm(cfg.clip_value))
     chain.append(optax.adam(lr))

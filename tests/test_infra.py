@@ -1,0 +1,134 @@
+"""Infrastructure tests: checkpoint/resume round-trip, sharded training on a
+virtual 8-device mesh, metrics logging, CLI config plumbing."""
+
+import json
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from l2hmc_tpu.train.gauge import (
+    GaugeConfig,
+    init_train_state,
+    make_train_chunk,
+    make_train_step,
+)
+from l2hmc_tpu.train import checkpoint as ckpt
+from l2hmc_tpu.parallel.mesh import (
+    chain_sharding,
+    get_mesh,
+    replicated,
+    shard_train_state,
+    train_state_shardings,
+)
+
+CFG = GaugeConfig(time_size=4, space_size=4, num_chains=16, num_steps=2,
+                  network_arch="mlp", num_hidden=16, train_steps=20)
+
+
+def test_checkpoint_roundtrip(tmp_path, key):
+    state = init_train_state(CFG, key)
+    chunk = make_train_chunk(CFG, 5)
+    state, _ = chunk(state, key)
+    ckpt.save_checkpoint(tmp_path / "ck", state, int(state.step), CFG)
+
+    template = init_train_state(CFG, jax.random.fold_in(key, 9))
+    restored = ckpt.restore_checkpoint(tmp_path / "ck", template)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(restored)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # config sidecar
+    cfg_dict = ckpt.load_config_dict(tmp_path / "ck")
+    assert cfg_dict["time_size"] == 4
+
+    # resume continues bit-exactly: same chunk from saved vs live state
+    k2 = jax.random.fold_in(key, 1)
+    s1, m1 = chunk(state, k2)
+    s2, m2 = chunk(restored, k2)
+    np.testing.assert_allclose(np.asarray(m1["loss"]), np.asarray(m2["loss"]), rtol=1e-6)
+
+
+def test_checkpoint_keeps_latest(tmp_path, key):
+    state = init_train_state(CFG, key)
+    for step in [1, 2, 3, 4, 5]:
+        ckpt.save_checkpoint(tmp_path / "ck", state._replace(step=jnp.asarray(step)), step, keep=3)
+    assert ckpt.latest_step(tmp_path / "ck") == 5
+
+
+def test_sharded_training_matches_single_device(key):
+    """The pjit'd train step over an 8-device mesh must produce the same
+    metrics as the single-device step (same program, different layout)."""
+    mesh = get_mesh(num_data=8)
+    state = init_train_state(CFG, key)
+    step_fn = make_train_step(CFG)
+
+    single_state, single_metrics = jax.jit(step_fn)(state, key)
+
+    sharded = shard_train_state(state, mesh)
+    shardings = train_state_shardings(state, mesh)
+    jitted = jax.jit(
+        step_fn,
+        in_shardings=(shardings, replicated(mesh)),
+        out_shardings=(shardings, None),
+    )
+    sh_state, sh_metrics = jitted(sharded, key)
+
+    np.testing.assert_allclose(
+        float(single_metrics["loss"]), float(sh_metrics["loss"]), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(single_state.x), np.asarray(sh_state.x), rtol=1e-4, atol=1e-5
+    )
+    # chain state actually sharded over 8 devices
+    assert len(sh_state.x.sharding.device_set) == 8
+
+
+def test_sharded_scan_chunk(key):
+    """Multi-step scan chunk under shardings compiles and keeps placement."""
+    mesh = get_mesh(num_data=8)
+    state = shard_train_state(init_train_state(CFG, key), mesh)
+    chunk = make_train_chunk(CFG, 4)
+    out_state, metrics = chunk(state, key)
+    assert len(out_state.x.sharding.device_set) == 8
+    assert np.isfinite(np.asarray(metrics["loss"])).all()
+
+
+def test_metrics_logger(tmp_path, capsys):
+    from l2hmc_tpu.utils.io import MetricsLogger
+
+    logger = MetricsLogger(tmp_path, print_every=1)
+    logger.write({"step": 10, "loss": -1.5, "accept_prob": 0.7, "plaqs": 0.65})
+    logger.write({"step": 20, "loss": -2.5, "accept_prob": 0.8, "plaqs": 0.66})
+    logger.close()
+    lines = (tmp_path / "metrics.jsonl").read_text().strip().splitlines()
+    assert len(lines) == 2
+    rec = json.loads(lines[1])
+    assert rec["step"] == 20 and rec["loss"] == -2.5
+    out = capsys.readouterr().out
+    assert "loss" in out and "step" in out  # header printed
+
+
+def test_cli_config_mapping():
+    sys.path.insert(0, str(Path(__file__).parent.parent / "cli"))
+    import train_gauge
+
+    args = train_gauge.build_parser().parse_args(
+        ["--space_size", "16", "--time_size", "16", "--num_samples", "64",
+         "--hmc", "--eps_fixed"]
+    )
+    cfg = train_gauge.flags_to_config(args)
+    assert cfg.space_size == 16 and cfg.num_chains == 64
+    assert cfg.hmc and not cfg.eps_trainable
+    assert cfg.network_arch == "zero"
+
+
+def test_run_dir_numbering(tmp_path):
+    from l2hmc_tpu.utils.io import make_run_dir
+
+    d1 = make_run_dir(tmp_path)
+    d2 = make_run_dir(tmp_path)
+    assert d1.name == "run_1" and d2.name == "run_2"

@@ -1,0 +1,144 @@
+"""End-to-end training tests: the SCGExperiment equivalent (BASELINE.json
+config 1) and the U(1) gauge slice, kept small enough for CPU CI."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from l2hmc_tpu.analysis import stats
+from l2hmc_tpu.lattice import u1
+from l2hmc_tpu.targets import scg_2d, gmm_axes
+from l2hmc_tpu.train.gauge import (
+    GaugeConfig,
+    init_train_state,
+    make_eval_chunk,
+    make_train_chunk,
+)
+from l2hmc_tpu.train.sampler import (
+    SamplerConfig,
+    init_sampler_state,
+    make_sample_chain,
+    make_sampler_train_chunk,
+)
+from l2hmc_tpu.dynamics.hmc import hmc_chain
+
+
+def test_scg_training_beats_initial_loss(key):
+    """Train L2HMC on the 2-D strongly-correlated Gaussian: loss must drop
+    and acceptance must stay healthy."""
+    target = scg_2d()
+    cfg = SamplerConfig(x_dim=2, num_chains=64, num_steps=5, eps_init=0.1,
+                        num_hidden=16, train_steps=200)
+    state = init_sampler_state(cfg, target.energy, key)
+    chunk = make_sampler_train_chunk(cfg, target.energy, 50)
+
+    first10 = None
+    losses = []
+    for i in range(4):
+        key, sub = jax.random.split(key)
+        state, m = chunk(state, sub)
+        if first10 is None:
+            first10 = float(m["loss"][:10].mean())
+        losses.append(float(m["loss"].mean()))
+    assert np.all(np.isfinite(losses)), f"loss went non-finite: {losses}"
+    assert losses[-1] < first10, f"loss did not improve: {first10} -> {losses}"
+    assert float(m["accept_prob"].mean()) > 0.2
+    # NaN-guards: params and chain state stay finite for the whole run
+    assert all(
+        bool(jnp.all(jnp.isfinite(l)))
+        for l in jax.tree_util.tree_leaves((state.params, state.x))
+    )
+
+
+def test_scg_trained_sampler_vs_hmc_ess(key):
+    """The trained sampler should traverse the ill-conditioned Gaussian
+    faster than step-size-limited HMC (the paper's headline result).
+    We compare ESS along the stiff-to-slow principal axis."""
+    target = scg_2d()
+    cfg = SamplerConfig(x_dim=2, num_chains=32, num_steps=10, eps_init=0.1,
+                        num_hidden=32, train_steps=600, lr_init=3e-3)
+    state = init_sampler_state(cfg, target.energy, key)
+    chunk = make_sampler_train_chunk(cfg, target.energy, 100)
+    for i in range(6):
+        key, sub = jax.random.split(key)
+        state, m = chunk(state, sub)
+
+    # sample both
+    n = 400
+    x0 = jnp.zeros((32, 2))
+    sample = make_sample_chain(cfg, target.energy)
+    xs, probs = sample(state.params, x0, jax.random.fold_in(key, 1), n)
+    # HMC with small eps (stability-limited by the stiff direction:
+    # sqrt(lambda_min)=0.1 => eps ~ 0.1)
+    xs_hmc, probs_hmc = hmc_chain(
+        target.energy, x0, 1.0, jax.random.fold_in(key, 2), 0.1, 10, n
+    )
+
+    # project on the slow principal axis (variance 100 direction)
+    evals, evecs = np.linalg.eigh(np.asarray(target.sigma))
+    slow = evecs[:, -1]
+    proj = np.asarray(xs) @ slow        # (T, chains)
+    proj_hmc = np.asarray(xs_hmc) @ slow
+
+    ess = np.mean([stats.calc_ess(proj[:, c]) for c in range(8)])
+    ess_hmc = np.mean([stats.calc_ess(proj_hmc[:, c]) for c in range(8)])
+    assert ess > ess_hmc, f"L2HMC ESS {ess:.4f} <= HMC ESS {ess_hmc:.4f}"
+
+
+def test_temperature_annealing_path(key):
+    """MoG training with annealing: temperature decays toward 1."""
+    target = gmm_axes(dim=2, sep=2.0, var=0.1)
+    cfg = SamplerConfig(x_dim=2, num_chains=32, num_steps=5, num_hidden=16,
+                        use_annealing=True, temp_init=5.0,
+                        annealing_steps=10, annealing_factor=0.9)
+    state = init_sampler_state(cfg, target.energy, key)
+    chunk = make_sampler_train_chunk(cfg, target.energy, 100)
+    state, m = chunk(state, key)
+    t_end = float(state.temp.temperature)
+    assert t_end < 5.0
+    assert t_end >= 1.0
+
+
+def test_gauge_train_chunk_runs_and_improves(key):
+    cfg = GaugeConfig(time_size=4, space_size=4, num_chains=32, num_steps=2,
+                      network_arch="mlp", num_hidden=32, train_steps=150,
+                      beta_init=2.0, beta_final=2.0)
+    state = init_train_state(cfg, key)
+    chunk = make_train_chunk(cfg, 75)
+    state, m1 = chunk(state, jax.random.fold_in(key, 1))
+    state, m2 = chunk(state, jax.random.fold_in(key, 2))
+    assert float(m2["loss"].mean()) < float(m1["loss"].mean())
+    assert np.all(np.isfinite(np.asarray(m2["loss"])))
+    # chain state stays wrapped
+    assert float(jnp.max(jnp.abs(state.x))) <= np.pi + 1e-5
+
+
+def test_gauge_eval_plaquette_near_oracle(key):
+    """HMC-mode eval on 4x4 at beta=2 must land near I1/I0(2)=0.6978."""
+    cfg = GaugeConfig(time_size=4, space_size=4, num_chains=64, num_steps=4,
+                      eps_init=0.2, network_arch="zero", hmc=True,
+                      eps_trainable=False)
+    state = init_train_state(cfg, key)
+    ev = make_eval_chunk(cfg, 500)
+    x = u1.random_links(key, 64, cfg.shape)
+    x, met = ev(state.params, x, 2.0, jax.random.fold_in(key, 3))
+    plaq = float(np.asarray(met["plaqs"])[250:].mean())
+    exact = float(u1.u1_plaq_exact(2.0))
+    assert abs(plaq - exact) < 0.03, f"plaq {plaq} vs exact {exact}"
+    acc = float(np.asarray(met["accept_prob"]).mean())
+    assert acc > 0.5
+
+
+def test_beta_annealing_schedule():
+    from l2hmc_tpu.train.schedules import beta_schedule
+
+    b0 = float(beta_schedule(0, 100, 2.0, 4.0))
+    bT = float(beta_schedule(100, 100, 2.0, 4.0))
+    bmid = float(beta_schedule(50, 100, 2.0, 4.0))
+    assert b0 == pytest.approx(2.0)
+    assert bT == pytest.approx(4.0)
+    # linear in 1/beta: midpoint of 1/2 and 1/4 is 3/8 -> beta=8/3
+    assert bmid == pytest.approx(8.0 / 3.0, rel=1e-5)
