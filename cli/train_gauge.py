@@ -194,6 +194,10 @@ def main(argv=None):
             out_file = run_dir / f"eval_beta{beta:g}.json"
             if jax.process_index() == 0:
                 out_file.write_text(json.dumps(summary, indent=2, default=str))
+                # full traces for offline re-analysis (cli/analyze_run.py)
+                np.savez_compressed(
+                    run_dir / f"eval_beta{beta:g}.npz", **merged
+                )
             log(f"eval beta={beta:g}: plaq={summary['plaqs']['mean']:.5f} "
                 f"(exact {summary['plaq_exact']:.5f}) "
                 f"acc={summary['accept_prob']['mean']:.4f} -> {out_file}")

@@ -9,7 +9,8 @@ Rebuild of the reference's network layer (L2 of SURVEY §1):
   ``transformation = dense * exp(coeff_transformation)`` (note: the reference
   applies **no** tanh to the transformation head despite its docstring —
   ``generic_net.py:141-146``, ``conv_net.py:270-276``; we reproduce the code,
-  not the docstring).
+  not the docstring.  ``bounded_q=True`` restores the original
+  brain-research ScaleTanh head, ``utils/network.py:89-114``).
 
 - :func:`make_conv_net` — TPU-native redesign of ConvNet3D
   (``network/conv_net.py:57-310``).  The reference reshapes the ``(L, L, 2)``
@@ -17,16 +18,29 @@ Rebuild of the reference's network layer (L2 of SURVEY §1):
   zero 'same' padding (its periodic-padding helper is broken and never called,
   ``conv_net.py:22-53``).  Here the two link directions are **channels** of a
   2-D field — the natural mapping onto XLA:TPU's conv-as-matmul lowering — and
-  padding is **correctly periodic** (toroidal), matching the lattice geometry.
+  padding is **correctly periodic** (toroidal).
 
-All networks are pure ``init``/``apply`` pairs over plain dict pytrees: no
-framework state, trivially shardable, friendly to `jax.checkpoint`.
+**Fused layouts (TPU-first).**  The L2HMC hot loop is dispatch-latency-bound
+at small batch (profiled ~0.4 ms/transition with ~40 small ops per leapfrog
+step), so the networks minimize op count, not FLOPs:
 
-Call contract (L2->L3, SURVEY §1): ``apply(params, a, b, t) -> (S, T, Q)``
-with ``a, b`` of shape ``(batch, x_dim)`` and ``t`` of shape ``(batch, 2)``.
-For the position net ("XNet"): ``a = momentum``, ``b = masked position``.
-For the momentum net ("VNet"): ``a = position``, ``b = potential gradient``.
-(Reference argument order ``net([v, x, t])`` — ``generic_net.py:130-136``.)
+- MLP: the three input embeddings (v, x, t[, aux]) are ONE matmul over the
+  concatenated input — weights stored pre-concatenated ``(d_v+d_x+2[+d_aux],
+  h)`` with per-block init factors; the three heads are ONE matmul
+  ``(h, 3*x_dim)`` split afterwards.
+- CNN: the x/v conv stacks stay SEPARATE — a grouped-conv fusion was
+  benchmarked slower on TPU (channel-concat HBM traffic > op-merge savings);
+  only the heads are fused.
+
+Semantics and initialization statistics are identical to the unfused form.
+
+All networks are pure ``init``/``apply`` pairs over plain dict pytrees.
+Call contract (L2->L3, SURVEY §1):
+``apply(params, v, x, t, aux=None) -> (S, T, Q)`` with ``v, x`` of shape
+``(batch, x_dim)`` and ``t (batch, 2)``.  For the position net ("XNet"):
+``v = momentum``, ``x = masked position``; for the momentum net ("VNet"):
+``v = position``, ``x = potential gradient`` (reference order
+``net([v, x, t])`` — ``generic_net.py:130-136``).
 """
 
 from __future__ import annotations
@@ -74,16 +88,24 @@ def _dense(p: Params, x: jax.Array, compute_dtype=None) -> jax.Array:
     return y + p["b"]
 
 
+def _matmul(x, w, compute_dtype=None):
+    if compute_dtype is not None and compute_dtype != jnp.float32:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    return jax.lax.dot_general(
+        x, w, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class MLPNetSpec:
     """Static architecture spec for the GenericNet-parity MLP.
 
-    ``bounded_q=False`` reproduces the gauge fork's GenericNet
-    (``generic_net.py:141-146``: transformation head has NO tanh);
-    ``bounded_q=True`` reproduces the original brain-research network used
-    on the MoG/SCG/VAE paths (``utils/network.py:89-114``: ScaleTanh on both
-    the S and Q heads), which also keeps ``exp(eps*q)`` in the integrator
-    bounded — the unbounded variant can blow up at aggressive learning rates.
+    ``bounded_q=False`` reproduces the gauge fork's GenericNet (no tanh on
+    the transformation head); ``bounded_q=True`` the original ScaleTanh head
+    (keeps ``exp(eps*q)`` bounded — the unbounded variant can blow up at
+    aggressive learning rates).
     """
 
     x_dim: int
@@ -95,50 +117,55 @@ class MLPNetSpec:
 
 
 def make_mlp_net(spec: MLPNetSpec):
-    """Build (init, apply) for the GenericNet-parity MLP."""
+    """Build (init, apply) for the fused GenericNet-parity MLP."""
 
     compute_dtype = jnp.bfloat16 if spec.use_bf16 else None
+    d, h, da = spec.x_dim, spec.num_hidden, spec.aux_dim
 
     def init(key: jax.Array) -> Params:
-        ks = jax.random.split(key, 7)
-        h, d = spec.num_hidden, spec.x_dim
-        params = {
-            # factor conventions: x-embed factor/3, v-embed 1/3, t-embed 1/3,
-            # hidden 1.0, heads 0.001 (generic_net.py:37-90).
-            "x_layer": _dense_init(ks[0], d, h, spec.factor / 3.0),
-            "v_layer": _dense_init(ks[1], d, h, 1.0 / 3.0),
-            "t_layer": _dense_init(ks[2], 2, h, 1.0 / 3.0),
-            "h_layer": _dense_init(ks[3], h, h, 1.0),
-            "scale_layer": _dense_init(ks[4], h, d, 0.001),
-            "translation_layer": _dense_init(ks[5], h, d, 0.001),
-            "transformation_layer": _dense_init(
-                jax.random.fold_in(ks[5], 1), h, d, 0.001
+        ks = jax.random.split(key, 8)
+        # fused input embedding: rows [v (1/3) | x (factor/3) | t (1/3) | aux]
+        in_w = jnp.concatenate(
+            [
+                _variance_scaling(ks[0], (d, h), 1.0 / 3.0),
+                _variance_scaling(ks[1], (d, h), spec.factor / 3.0),
+                _variance_scaling(ks[2], (2, h), 1.0 / 3.0),
+            ]
+            + (
+                [_variance_scaling(ks[6], (da, h), 1.0 / 3.0)] if da > 0 else []
             ),
+            axis=0,
+        )
+        # fused heads: columns [scale | translation | transformation], 0.001
+        head_w = jnp.concatenate(
+            [
+                _variance_scaling(ks[3], (h, d), 0.001),
+                _variance_scaling(ks[4], (h, d), 0.001),
+                _variance_scaling(ks[5], (h, d), 0.001),
+            ],
+            axis=1,
+        )
+        return {
+            "in_w": in_w,
+            "in_b": jnp.zeros((h,), jnp.float32),
+            "h_layer": _dense_init(ks[7], h, h, 1.0),
+            "head_w": head_w,
+            "head_b": jnp.zeros((3 * d,), jnp.float32),
             "coeff_scale": jnp.zeros((1, d), jnp.float32),
             "coeff_transformation": jnp.zeros((1, d), jnp.float32),
         }
-        if spec.aux_dim > 0:
-            params["aux_layer"] = _dense_init(ks[6], spec.aux_dim, h, 1.0 / 3.0)
-        return params
 
     def apply(params: Params, v: jax.Array, x: jax.Array, t: jax.Array, aux=None):
-        # reference call order: net([v, x, t]) (generic_net.py:130-136);
-        # optional aux conditioning is summed into the embedding like the
-        # other inputs (utils/dynamics.py:120-170 semantics).
-        h = (
-            _dense(params["v_layer"], v, compute_dtype)
-            + _dense(params["x_layer"], x, compute_dtype)
-            + _dense(params["t_layer"], t, compute_dtype)
-        )
-        if aux is not None and "aux_layer" in params:
-            h = h + _dense(params["aux_layer"], aux, compute_dtype)
-        h = jax.nn.relu(h)
-        h = jax.nn.relu(_dense(params["h_layer"], h, compute_dtype))
-        scale = jnp.tanh(_dense(params["scale_layer"], h, compute_dtype)) * jnp.exp(
-            params["coeff_scale"]
-        )
-        translation = _dense(params["translation_layer"], h, compute_dtype)
-        q_raw = _dense(params["transformation_layer"], h, compute_dtype)
+        parts = [v, x, t]
+        if da > 0 and aux is not None:
+            parts.append(aux)
+        inp = jnp.concatenate(parts, axis=-1)
+        hh = _matmul(inp, params["in_w"], compute_dtype) + params["in_b"]
+        hh = jax.nn.relu(hh)
+        hh = jax.nn.relu(_dense(params["h_layer"], hh, compute_dtype))
+        heads = _matmul(hh, params["head_w"], compute_dtype) + params["head_b"]
+        s_raw, translation, q_raw = jnp.split(heads, 3, axis=-1)
+        scale = jnp.tanh(s_raw) * jnp.exp(params["coeff_scale"])
         if spec.bounded_q:
             q_raw = jnp.tanh(q_raw)
         transformation = q_raw * jnp.exp(params["coeff_transformation"])
@@ -163,6 +190,7 @@ def periodic_pad_2d(x: jax.Array, kernel: int) -> jax.Array:
     pl, pr = (kernel - 1) // 2, kernel // 2
     if pl == 0 and pr == 0:
         return x
+
     def cat(a, axis):
         parts = []
         if pl:
@@ -171,33 +199,15 @@ def periodic_pad_2d(x: jax.Array, kernel: int) -> jax.Array:
         if pr:
             parts.append(jax.lax.slice_in_dim(a, 0, pr, axis=axis))
         return jnp.concatenate(parts, axis=axis)
+
     return cat(cat(x, 1), 2)
 
 
 def _conv_init(key, kh: int, kw: int, cin: int, cout: int) -> Params:
-    # He-normal (matches the Conv3D default-ish glorot closely enough; conv
-    # feeds ReLU so He scaling is the right choice).
+    # He-normal: conv feeds ReLU.
     fan_in = kh * kw * cin
     w = jax.random.normal(key, (kh, kw, cin, cout)) * np.sqrt(2.0 / fan_in)
     return {"w": w, "b": jnp.zeros((cout,), jnp.float32)}
-
-
-def _conv2d_periodic(p: Params, x: jax.Array, compute_dtype=None) -> jax.Array:
-    """3x3 (or kxk) conv, periodic padding, NHWC, f32 accumulation."""
-    k = p["w"].shape[0]
-    x = periodic_pad_2d(x, k)
-    w = p["w"]
-    if compute_dtype is not None and compute_dtype != jnp.float32:
-        x = x.astype(compute_dtype)
-        w = w.astype(compute_dtype)
-    y = jax.lax.conv_general_dilated(
-        x, w,
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    )
-    return y + p["b"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -206,9 +216,59 @@ class ConvNetSpec:
 
     Redesign of ConvNet3D (``conv_net.py:57-310``): the reference's
     (conv3d -> maxpool3d) x2 stacks become (periodic conv2d -> relu) x2 with
-    stride-2 spatial reduction on the second conv.  Pooling-by-strided-conv
-    keeps the MXU busy instead of bouncing through a bandwidth-bound pool op,
-    and the link direction lives on the channel axis where TPUs want it.
+    stride-2 reduction fused into the second conv, and the x- and v-stacks
+    run as ONE grouped convolution per layer (feature_group_count=2) — the
+    MXU sees a single large conv instead of two small ones.
+    """
+
+    time_size: int
+    space_size: int
+    num_filters: int = 8
+    filter_size1: int = 3
+    filter_size2: int = 2
+    num_hidden: int = 256
+    factor: float = 1.0
+    use_bf16: bool = False
+
+    @property
+    def x_dim(self) -> int:
+        return self.time_size * self.space_size * 2
+
+
+def _conv2d_periodic(p: Params, x: jax.Array, compute_dtype=None, stride: int = 1) -> jax.Array:
+    """kxk conv, periodic padding, NHWC, f32 accumulation."""
+    k = p["w"].shape[0]
+    x = periodic_pad_2d(x, k)
+    w = p["w"]
+    if compute_dtype is not None and compute_dtype != jnp.float32:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    y = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride, stride),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return y + p["b"]
+
+
+def _grouped_conv(x, w, b, stride: int, compute_dtype=None):
+    """Periodic conv used by tests; groups inferred from channel counts."""
+    return _conv2d_periodic({"w": w, "b": b}, x, compute_dtype, stride)
+
+
+@dataclasses.dataclass(frozen=True)
+class ConvNetSpec:
+    """Static spec for the periodic-CNN S/T/Q network.
+
+    Redesign of ConvNet3D (``conv_net.py:57-310``): the reference's
+    (conv3d -> maxpool3d) x2 stacks become (periodic conv2d -> relu) x2 with
+    stride-2 spatial reduction fused into the second conv.  Pooling by
+    strided conv keeps the MXU busy instead of a bandwidth-bound pool op.
+    (A grouped-conv fusion of the x/v stacks was benchmarked and found
+    slower on TPU — the channel concat costs more HBM traffic than the op
+    merge saves — so the stacks stay separate.)
     """
 
     time_size: int
@@ -231,8 +291,6 @@ def make_conv_net(spec: ConvNetSpec):
     compute_dtype = jnp.bfloat16 if spec.use_bf16 else None
     lt, lx = spec.time_size, spec.space_size
     f1, f2 = spec.num_filters, 2 * spec.num_filters
-    # After one stride-2 stage (on the second conv) the spatial field is
-    # ceil(L/2) x ceil(L/2) with 2*num_filters channels.
     lt2, lx2 = (lt + 1) // 2, (lx + 1) // 2
     conv_out_dim = lt2 * lx2 * f2
     d = spec.x_dim
@@ -249,9 +307,16 @@ def make_conv_net(spec: ConvNetSpec):
             "v_layer": _dense_init(ks[5], conv_out_dim, h, 1.0 / 3.0),
             "t_layer": _dense_init(ks[6], 2, h, 1.0 / 3.0),
             "h_layer": _dense_init(ks[7], h, h, 1.0),
-            "scale_layer": _dense_init(ks[8], h, d, 0.001),
-            "translation_layer": _dense_init(ks[9], h, d, 0.001),
-            "transformation_layer": _dense_init(ks[10], h, d, 0.001),
+            # fused heads: one (h, 3d) matmul split into S | T | Q
+            "head_w": jnp.concatenate(
+                [
+                    _variance_scaling(ks[8], (h, d), 0.001),
+                    _variance_scaling(ks[9], (h, d), 0.001),
+                    _variance_scaling(ks[10], (h, d), 0.001),
+                ],
+                axis=1,
+            ),
+            "head_b": jnp.zeros((3 * d,), jnp.float32),
             "coeff_scale": jnp.zeros((1, d), jnp.float32),
             "coeff_transformation": jnp.zeros((1, d), jnp.float32),
         }
@@ -259,19 +324,7 @@ def make_conv_net(spec: ConvNetSpec):
     def conv_stack(p1: Params, p2: Params, flat: jax.Array) -> jax.Array:
         img = flat.reshape(-1, lt, lx, 2)
         y = jax.nn.relu(_conv2d_periodic(p1, img, compute_dtype))
-        # stride-2 reduction fused into the second conv
-        k = p2["w"].shape[0]
-        y = periodic_pad_2d(y, k)
-        w = p2["w"]
-        if compute_dtype is not None:
-            y = y.astype(compute_dtype)
-            w = w.astype(compute_dtype)
-        y = jax.lax.conv_general_dilated(
-            y, w, window_strides=(2, 2), padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        ) + p2["b"]
-        y = jax.nn.relu(y)
+        y = jax.nn.relu(_conv2d_periodic(p2, y, compute_dtype, stride=2))
         return y.reshape(flat.shape[0], -1)
 
     def apply(params: Params, v: jax.Array, x: jax.Array, t: jax.Array, aux=None):
@@ -284,13 +337,10 @@ def make_conv_net(spec: ConvNetSpec):
         )
         hh = jax.nn.relu(hh)
         hh = jax.nn.relu(_dense(params["h_layer"], hh, compute_dtype))
-        scale = jnp.tanh(_dense(params["scale_layer"], hh, compute_dtype)) * jnp.exp(
-            params["coeff_scale"]
-        )
-        translation = _dense(params["translation_layer"], hh, compute_dtype)
-        transformation = _dense(
-            params["transformation_layer"], hh, compute_dtype
-        ) * jnp.exp(params["coeff_transformation"])
+        heads = _matmul(hh, params["head_w"], compute_dtype) + params["head_b"]
+        s_raw, translation, q_raw = jnp.split(heads, 3, axis=-1)
+        scale = jnp.tanh(s_raw) * jnp.exp(params["coeff_scale"])
+        transformation = q_raw * jnp.exp(params["coeff_transformation"])
         return scale, translation, transformation
 
     return init, apply

@@ -144,7 +144,11 @@ def build_dynamics(cfg: GaugeConfig):
         both_directions=cfg.both_directions,
     )
     (xi, xa), (vi, va) = build_networks(cfg)
-    potential = u1.make_potential_fn(cfg.shape)
+    # analytic-VJP Wilson action (ops/wilson.py): shares the plaquette
+    # computation between S and dS/dx and keeps the backward to two rolls.
+    from l2hmc_tpu.ops.wilson import make_potential_fn as make_fast_potential
+
+    potential = make_fast_potential(cfg.shape)
     dyn = make_dynamics(dyn_cfg, potential, xa, va)
     return dyn_cfg, dyn, (xi, vi)
 

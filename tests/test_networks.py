@@ -82,13 +82,13 @@ def test_conv_translation_covariant_trunk(key):
     translations (up to the stride-2 coset): translating the input field by
     the stride shifts the conv features identically.  This is the toroidal
     geometry property the reference's zero-padding breaks."""
-    from l2hmc_tpu.networks.nets import _conv2d_periodic, _conv_init
+    from l2hmc_tpu.networks.nets import _grouped_conv, _conv_init
 
     p = _conv_init(key, 3, 3, 2, 4)
     img = jax.random.normal(key, (1, 8, 8, 2))
-    out = _conv2d_periodic(p, img)
+    out = _grouped_conv(img, p["w"], p["b"], 1)
     shifted = jnp.roll(img, shift=(2, 3), axis=(1, 2))
-    out_shifted = _conv2d_periodic(p, shifted)
+    out_shifted = _grouped_conv(shifted, p["w"], p["b"], 1)
     np.testing.assert_allclose(
         out_shifted, jnp.roll(out, shift=(2, 3), axis=(1, 2)), rtol=1e-4, atol=1e-5
     )

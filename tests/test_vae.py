@@ -46,8 +46,9 @@ def test_posterior_sampler_conditions_on_data(key):
     init, fns = build_vae(CFG)
     params = init(key)
     # give aux weights some magnitude so conditioning is visible at init
+    # (aux rows are the trailing aux_dim rows of the fused input embedding)
     xnet = dict(params.dynamics.xnet)
-    xnet["aux_layer"] = jax.tree.map(lambda a: a + 0.3, xnet["aux_layer"])
+    xnet["in_w"] = xnet["in_w"].at[-CFG.data_dim :].add(0.3)
     params = params._replace(dynamics=params.dynamics._replace(xnet=xnet))
 
     x1 = jnp.zeros((8, 64))
