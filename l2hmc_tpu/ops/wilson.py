@@ -99,19 +99,22 @@ def _build_pallas_kernels(lt: int, lx: int, block_b: int):
     def fwd_kernel(u0_ref, u1_ref, action_ref, sinp_ref):
         u0 = u0_ref[:]          # (block_b, lt, lx)
         u1 = u1_ref[:]
+        # pltpu.roll requires non-negative shifts: -1 == size-1 (mod size)
         p = (
             u0
             - u1
-            - pltpu.roll(u0, shift=-1, axis=2)
-            + pltpu.roll(u1, shift=-1, axis=1)
+            - pltpu.roll(u0, shift=lx - 1, axis=2)
+            + pltpu.roll(u1, shift=lt - 1, axis=1)
         )
         sinp_ref[:] = jnp.sin(p)
-        action_ref[:] = jnp.sum(1.0 - jnp.cos(p), axis=(1, 2))
+        # per-sample action as a rank-2 (block_b, 1) block (rank-1 blocked
+        # outputs are not supported by the TPU lowering)
+        action_ref[:] = jnp.sum(1.0 - jnp.cos(p), axis=(1, 2))[:, None]
 
     def bwd_kernel(sinp_ref, g_ref, g0_ref, g1_ref):
         sinp = sinp_ref[:]
-        g = g_ref[:]            # (block_b,) cotangent per sample
-        gcol = g[:, None, None]
+        g = g_ref[:]            # (block_b, 1) cotangent per sample
+        gcol = g[:, :, None]
         g0_ref[:] = gcol * (sinp - pltpu.roll(sinp, shift=1, axis=2))
         g1_ref[:] = gcol * (-sinp + pltpu.roll(sinp, shift=1, axis=1))
 
@@ -121,17 +124,18 @@ def _build_pallas_kernels(lt: int, lx: int, block_b: int):
         spec3 = pl.BlockSpec(
             (block_b, lt, lx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         )
-        spec1 = pl.BlockSpec((block_b,), lambda i: (i,), memory_space=pltpu.VMEM)
-        return pl.pallas_call(
+        spec2 = pl.BlockSpec((block_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        action, sinp = pl.pallas_call(
             fwd_kernel,
             grid=grid,
             in_specs=[spec3, spec3],
-            out_specs=(spec1, spec3),
+            out_specs=(spec2, spec3),
             out_shape=(
-                jax.ShapeDtypeStruct((b,), u0.dtype),
+                jax.ShapeDtypeStruct((b, 1), u0.dtype),
                 jax.ShapeDtypeStruct(u0.shape, u0.dtype),
             ),
         )(u0, u1)
+        return action[:, 0], sinp
 
     def bwd(sinp, g):
         b = sinp.shape[0]
@@ -139,17 +143,17 @@ def _build_pallas_kernels(lt: int, lx: int, block_b: int):
         spec3 = pl.BlockSpec(
             (block_b, lt, lx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         )
-        spec1 = pl.BlockSpec((block_b,), lambda i: (i,), memory_space=pltpu.VMEM)
+        spec2 = pl.BlockSpec((block_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
         return pl.pallas_call(
             bwd_kernel,
             grid=grid,
-            in_specs=[spec3, spec1],
+            in_specs=[spec3, spec2],
             out_specs=(spec3, spec3),
             out_shape=(
                 jax.ShapeDtypeStruct(sinp.shape, sinp.dtype),
                 jax.ShapeDtypeStruct(sinp.shape, sinp.dtype),
             ),
-        )(sinp, g)
+        )(sinp, g.reshape(b, 1))
 
     return fwd, bwd
 
@@ -164,8 +168,8 @@ def _pallas_action_for(lt: int, lx: int, block_b: int):
         return a
 
     def _fwd(links):
-        u0 = jnp.ascontiguousarray(links[..., 0])
-        u1 = jnp.ascontiguousarray(links[..., 1])
+        u0 = links[..., 0]
+        u1 = links[..., 1]
         a, sinp = fwd_call(u0, u1)
         return a, sinp
 
