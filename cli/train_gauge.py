@@ -65,6 +65,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="post-training eval steps per beta")
     p.add_argument("--restore", action="store_true")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--tensorboard", action="store_true", help="write TB scalar summaries")
     p.add_argument("--profile", action="store_true",
                    help="jax.profiler trace of steps 10-20")
     return p
@@ -137,38 +138,45 @@ def main(argv=None):
     train_chunk = make_train_chunk(cfg, chunk_size)
     eval_chunk = make_eval_chunk(cfg, 500) if args.eval_steps else None
 
-    logger = MetricsLogger(run_dir, print_every=1)
+    logger = MetricsLogger(run_dir, print_every=1, tensorboard=args.tensorboard)
     n_chunks = max((cfg.train_steps - start_step) // chunk_size, 0)
     t_prev = time.perf_counter()
-    for c in range(n_chunks):
-        key, sub = jax.random.split(key)
-        if args.profile and c == 0:
-            with jax.profiler.trace(str(run_dir / "profile")):
-                state, metrics = train_chunk(state, sub)
-                jax.block_until_ready(state.x)
-        else:
-            state, metrics = train_chunk(state, sub)
-        step = int(state.step)
-        t_now = time.perf_counter()
-        rec = {k: float(np.asarray(v)[-1]) for k, v in metrics.items()}
-        rec.update(
-            step=step,
-            dt=(t_now - t_prev) / chunk_size,
-            plaq_exact=float(u1.u1_plaq_exact(rec["beta"])),
-        )
-        t_prev = t_now
-        logger.write(rec)
-
-        if args.save_steps and step % args.save_steps < chunk_size:
-            ckpt.save_checkpoint(ckpt_dir, state, step, cfg)
-        if eval_chunk is not None and step % args.eval_steps < chunk_size:
+    try:
+        for c in range(n_chunks):
             key, sub = jax.random.split(key)
-            x_eval = u1.random_links(sub, cfg.num_chains, cfg.shape)
-            _, em = eval_chunk(state.params, x_eval, rec["beta"], sub)
-            log(
-                f"  eval@{step}: acc={float(np.asarray(em['accept_prob']).mean()):.4f} "
-                f"plaq={float(np.asarray(em['plaqs'])[250:].mean()):.5f}"
+            if args.profile and c == 0:
+                with jax.profiler.trace(str(run_dir / "profile")):
+                    state, metrics = train_chunk(state, sub)
+                    jax.block_until_ready(state.x)
+            else:
+                state, metrics = train_chunk(state, sub)
+            step = int(state.step)
+            t_now = time.perf_counter()
+            rec = {k: float(np.asarray(v)[-1]) for k, v in metrics.items()}
+            rec.update(
+                step=step,
+                dt=(t_now - t_prev) / chunk_size,
+                plaq_exact=float(u1.u1_plaq_exact(rec["beta"])),
             )
+            t_prev = t_now
+            logger.write(rec)
+
+            if args.save_steps and step % args.save_steps < chunk_size:
+                ckpt.save_checkpoint(ckpt_dir, state, step, cfg)
+            if eval_chunk is not None and step % args.eval_steps < chunk_size:
+                key, sub = jax.random.split(key)
+                x_eval = u1.random_links(sub, cfg.num_chains, cfg.shape)
+                _, em = eval_chunk(state.params, x_eval, rec["beta"], sub)
+                log(
+                    f"  eval@{step}: acc={float(np.asarray(em['accept_prob']).mean()):.4f} "
+                    f"plaq={float(np.asarray(em['plaqs'])[250:].mean()):.5f}"
+                )
+    except (KeyboardInterrupt, SystemExit):
+        # save-and-exit on interrupt (reference gauge_model.py:1295-1301)
+        log(f"interrupted at step {int(state.step)}; checkpointing...")
+        ckpt.save_checkpoint(ckpt_dir, state, int(state.step), cfg)
+        logger.close()
+        raise
 
     ckpt.save_checkpoint(ckpt_dir, state, int(state.step), cfg)
 

@@ -315,6 +315,46 @@ def make_dynamics(
 
     transition = _transition_both if cfg.both_directions else _transition_fused
 
+    def chain_operator(params, x, beta, key, max_compositions: int, aux=None):
+        """Compose a random number (1..max) of full leapfrog integrations
+        before ONE MH accept — ``chain_operator`` parity
+        (``utils/sampler.py:61-93``, used by the VAE's
+        ``random_lf_composition``).
+
+        Static shapes: always runs ``max_compositions`` integrations and
+        freezes the state once the per-chain count is exhausted; the
+        log-Jacobian accumulates only over active compositions.
+        """
+        kn, kv, kd, ka = jax.random.split(key, 4)
+        n_comp = jax.random.randint(kn, (x.shape[0],), 1, max_compositions + 1)
+        v = jax.random.normal(kv, x.shape, x.dtype)
+        direction = jnp.where(
+            jax.random.uniform(kd, (x.shape[0],)) > 0.5, 1.0, -1.0
+        ).astype(x.dtype)
+
+        def body(carry, i):
+            xc, vc, ld = carry
+            active = (i < n_comp)
+            xn, vn, ldn = integrate(params, xc, vc, beta, direction, aux)
+            xc = jnp.where(active[:, None], xn, xc)
+            vc = jnp.where(active[:, None], vn, vc)
+            ld = ld + jnp.where(active, ldn, 0.0)
+            return (xc, vc, ld), None
+
+        init = (x, v, jnp.zeros(x.shape[0], x.dtype))
+        (xp, vp, sumlogdet), _ = jax.lax.scan(
+            body, init, jnp.arange(max_compositions)
+        )
+        prob = accept_prob_fn(x, v, xp, vp, sumlogdet, beta)
+        xp, vp = _sanitize(x, v, xp, vp)
+        accept = (jax.random.uniform(ka, prob.shape) < prob).astype(x.dtype)
+        x_out = accept[:, None] * xp + (1.0 - accept[:, None]) * x
+        return Transition(
+            x_proposed=xp, v_proposed=vp, accept_prob=prob, x_out=x_out,
+            sumlogdet=sumlogdet, accept_mask=accept,
+            forward_frac=jnp.mean((direction > 0).astype(jnp.float32)),
+        )
+
     return {
         "transition": transition,
         "integrate": integrate,
@@ -322,4 +362,5 @@ def make_dynamics(
         "potential_energy": potential_energy,
         "kinetic_energy": kinetic_energy,
         "accept_prob": accept_prob_fn,
+        "chain_operator": chain_operator,
     }

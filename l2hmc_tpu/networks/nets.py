@@ -229,6 +229,7 @@ class ConvNetSpec:
     num_hidden: int = 256
     factor: float = 1.0
     use_bf16: bool = False
+    bounded_q: bool = False  # tanh on the transformation head (stability)
 
     @property
     def x_dim(self) -> int:
@@ -279,6 +280,7 @@ class ConvNetSpec:
     num_hidden: int = 256
     factor: float = 1.0
     use_bf16: bool = False
+    bounded_q: bool = False  # tanh on the transformation head (stability)
 
     @property
     def x_dim(self) -> int:
@@ -340,6 +342,8 @@ def make_conv_net(spec: ConvNetSpec):
         heads = _matmul(hh, params["head_w"], compute_dtype) + params["head_b"]
         s_raw, translation, q_raw = jnp.split(heads, 3, axis=-1)
         scale = jnp.tanh(s_raw) * jnp.exp(params["coeff_scale"])
+        if spec.bounded_q:
+            q_raw = jnp.tanh(q_raw)
         transformation = q_raw * jnp.exp(params["coeff_transformation"])
         return scale, translation, transformation
 

@@ -64,6 +64,12 @@ class GaugeConfig:
     num_hidden: int = 0              # 0 -> 2 * x_dim (gauge_dynamics.py:129)
     num_filters: int = 8
     use_bf16: bool = False
+    # tanh-bound the transformation head.  The fork's GenericNet/ConvNet3D
+    # leave Q unbounded (generic_net.py:141-146); exp(eps*q) then explodes a
+    # few hundred steps into training (log-det inflates, acceptance admits
+    # garbage, gradients go NaN).  Bounded is the original paper's design
+    # and the stable default; set False for literal fork parity.
+    bounded_q: bool = True
     # loss
     metric: str = "cos_diff"
     loss_scale: float = 0.1
@@ -111,19 +117,23 @@ def build_networks(cfg: GaugeConfig):
     ``gauge_dynamics.py:121-187``."""
     if cfg.network_arch == "mlp":
         xi, xa = make_mlp_net(
-            MLPNetSpec(cfg.x_dim, cfg.hidden, factor=2.0, use_bf16=cfg.use_bf16)
+            MLPNetSpec(cfg.x_dim, cfg.hidden, factor=2.0, use_bf16=cfg.use_bf16,
+                       bounded_q=cfg.bounded_q)
         )
         vi, va = make_mlp_net(
-            MLPNetSpec(cfg.x_dim, cfg.hidden, factor=1.0, use_bf16=cfg.use_bf16)
+            MLPNetSpec(cfg.x_dim, cfg.hidden, factor=1.0, use_bf16=cfg.use_bf16,
+                       bounded_q=cfg.bounded_q)
         )
     elif cfg.network_arch == "conv":
         xi, xa = make_conv_net(ConvNetSpec(
             cfg.time_size, cfg.space_size, num_filters=cfg.num_filters,
             num_hidden=cfg.hidden, factor=2.0, use_bf16=cfg.use_bf16,
+            bounded_q=cfg.bounded_q,
         ))
         vi, va = make_conv_net(ConvNetSpec(
             cfg.time_size, cfg.space_size, num_filters=cfg.num_filters,
             num_hidden=cfg.hidden, factor=1.0, use_bf16=cfg.use_bf16,
+            bounded_q=cfg.bounded_q,
         ))
     elif cfg.network_arch == "zero":
         from l2hmc_tpu.networks.nets import make_zero_net

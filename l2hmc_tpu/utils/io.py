@@ -75,14 +75,26 @@ class MetricsLogger:
         ("lr", "{:>9.3g}"),
     ]
 
-    def __init__(self, run_dir: Optional[str | Path] = None, print_every: int = 1):
+    def __init__(
+        self,
+        run_dir: Optional[str | Path] = None,
+        print_every: int = 1,
+        tensorboard: bool = False,
+    ):
         self.run_dir = Path(run_dir) if run_dir else None
         self.print_every = print_every
         self._n = 0
         self._file = None
+        self._tb = None
         if self.run_dir and is_primary():
             self.run_dir.mkdir(parents=True, exist_ok=True)
             self._file = open(self.run_dir / "metrics.jsonl", "a")
+            if tensorboard:
+                # scalar summaries per logged step — parity with the
+                # reference's tf.summary writers (gauge_model.py:853-886)
+                from tensorboardX import SummaryWriter
+
+                self._tb = SummaryWriter(str(self.run_dir / "tb"))
         self._header_printed = False
 
     def header(self):
@@ -101,6 +113,10 @@ class MetricsLogger:
         if self._file is not None:
             self._file.write(json.dumps(rec) + "\n")
             self._file.flush()
+        if self._tb is not None and "step" in rec:
+            for k, v in rec.items():
+                if k != "step" and isinstance(v, (int, float)):
+                    self._tb.add_scalar(k, v, int(rec["step"]))
         if self._n % self.print_every == 0:
             if not self._header_printed:
                 self.header()
@@ -118,3 +134,5 @@ class MetricsLogger:
     def close(self):
         if self._file is not None:
             self._file.close()
+        if self._tb is not None:
+            self._tb.close()

@@ -217,3 +217,19 @@ def test_gradients_flow(key):
     assert all(jnp.all(jnp.isfinite(l)) for l in leaves)
     total = sum(float(jnp.sum(jnp.abs(l))) for l in leaves)
     assert total > 0.0
+
+
+def test_chain_operator(key):
+    """chain_operator (utils/sampler.py:61-93 parity): random composition
+    count per chain, one MH accept, valid outputs."""
+    cfg, params, dyn, _ = build(key)
+    x = jax.random.normal(key, (BATCH, X_DIM))
+    out = jax.jit(lambda p, x, k: dyn["chain_operator"](p, x, 1.0, k, 3))(
+        params, x, key
+    )
+    assert out.x_out.shape == x.shape
+    assert jnp.all((out.accept_prob >= 0) & (out.accept_prob <= 1))
+    assert jnp.all(jnp.isfinite(out.x_out))
+    # with max=1 it must equal a plain transition's proposal magnitude scale
+    out1 = dyn["chain_operator"](params, x, 1.0, key, 1)
+    assert jnp.all(jnp.isfinite(out1.x_proposed))
