@@ -41,6 +41,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_hidden", type=int, default=0, help="0 -> 2*x_dim")
     p.add_argument("--num_filters", type=int, default=8)
     p.add_argument("--bf16", action="store_true", help="bfloat16 network matmuls")
+    p.add_argument("--group", default="u1", choices=["u1", "r1"],
+                   help="kernel state space: exact torus (u1) or flat+wrap (r1)")
     # loss
     p.add_argument("--metric", default="cos_diff")
     p.add_argument("--loss_scale", type=float, default=0.1)
@@ -85,7 +87,7 @@ def flags_to_config(a):
         lr_init=a.lr_init, lr_decay_steps=a.lr_decay_steps,
         lr_decay_rate=a.lr_decay_rate, clip_value=a.clip_value,
         train_steps=a.train_steps, beta_init=a.beta_init,
-        beta_final=a.beta_final,
+        beta_final=a.beta_final, group=a.group,
     )
 
 

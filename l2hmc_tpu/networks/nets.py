@@ -114,6 +114,10 @@ class MLPNetSpec:
     use_bf16: bool = False
     bounded_q: bool = False
     aux_dim: int = 0  # conditioning input (VAE data batch, utils/dynamics.py:120-170)
+    # input dims when they differ from x_dim (e.g. periodic cos/sin position
+    # features in the U(1) kernel double the position slot); 0 -> x_dim
+    v_in_dim: int = 0
+    x_in_dim: int = 0
 
 
 def make_mlp_net(spec: MLPNetSpec):
@@ -121,14 +125,16 @@ def make_mlp_net(spec: MLPNetSpec):
 
     compute_dtype = jnp.bfloat16 if spec.use_bf16 else None
     d, h, da = spec.x_dim, spec.num_hidden, spec.aux_dim
+    dv = spec.v_in_dim or d
+    dx = spec.x_in_dim or d
 
     def init(key: jax.Array) -> Params:
         ks = jax.random.split(key, 8)
         # fused input embedding: rows [v (1/3) | x (factor/3) | t (1/3) | aux]
         in_w = jnp.concatenate(
             [
-                _variance_scaling(ks[0], (d, h), 1.0 / 3.0),
-                _variance_scaling(ks[1], (d, h), spec.factor / 3.0),
+                _variance_scaling(ks[0], (dv, h), 1.0 / 3.0),
+                _variance_scaling(ks[1], (dx, h), spec.factor / 3.0),
                 _variance_scaling(ks[2], (2, h), 1.0 / 3.0),
             ]
             + (
@@ -230,6 +236,10 @@ class ConvNetSpec:
     factor: float = 1.0
     use_bf16: bool = False
     bounded_q: bool = False  # tanh on the transformation head (stability)
+    # image channels per input (2 link directions; 4 when the position is
+    # fed as periodic cos/sin features)
+    v_channels: int = 2
+    x_channels: int = 2
 
     @property
     def x_dim(self) -> int:
@@ -281,6 +291,10 @@ class ConvNetSpec:
     factor: float = 1.0
     use_bf16: bool = False
     bounded_q: bool = False  # tanh on the transformation head (stability)
+    # image channels per input (2 link directions; 4 when the position is
+    # fed as periodic cos/sin features)
+    v_channels: int = 2
+    x_channels: int = 2
 
     @property
     def x_dim(self) -> int:
@@ -301,9 +315,9 @@ def make_conv_net(spec: ConvNetSpec):
     def init(key: jax.Array) -> Params:
         ks = jax.random.split(key, 11)
         return {
-            "conv_x1": _conv_init(ks[0], spec.filter_size1, spec.filter_size1, 2, f1),
+            "conv_x1": _conv_init(ks[0], spec.filter_size1, spec.filter_size1, spec.x_channels, f1),
             "conv_x2": _conv_init(ks[1], spec.filter_size2, spec.filter_size2, f1, f2),
-            "conv_v1": _conv_init(ks[2], spec.filter_size1, spec.filter_size1, 2, f1),
+            "conv_v1": _conv_init(ks[2], spec.filter_size1, spec.filter_size1, spec.v_channels, f1),
             "conv_v2": _conv_init(ks[3], spec.filter_size2, spec.filter_size2, f1, f2),
             "x_layer": _dense_init(ks[4], conv_out_dim, h, spec.factor / 3.0),
             "v_layer": _dense_init(ks[5], conv_out_dim, h, 1.0 / 3.0),
@@ -323,8 +337,20 @@ def make_conv_net(spec: ConvNetSpec):
             "coeff_transformation": jnp.zeros((1, d), jnp.float32),
         }
 
+    def to_image(flat: jax.Array) -> jax.Array:
+        """(B, d) link layout -> (B, lt, lx, 2); periodic features (B, 2d)
+        [cos | sin] -> (B, lt, lx, 4) channel-stacked."""
+        b = flat.shape[0]
+        if flat.shape[-1] == d:
+            return flat.reshape(b, lt, lx, 2)
+        cos_part, sin_part = jnp.split(flat, 2, axis=-1)
+        return jnp.concatenate(
+            [cos_part.reshape(b, lt, lx, 2), sin_part.reshape(b, lt, lx, 2)],
+            axis=-1,
+        )
+
     def conv_stack(p1: Params, p2: Params, flat: jax.Array) -> jax.Array:
-        img = flat.reshape(-1, lt, lx, 2)
+        img = to_image(flat)
         y = jax.nn.relu(_conv2d_periodic(p1, img, compute_dtype))
         y = jax.nn.relu(_conv2d_periodic(p2, y, compute_dtype, stride=2))
         return y.reshape(flat.shape[0], -1)

@@ -70,6 +70,11 @@ class GaugeConfig:
     # garbage, gradients go NaN).  Bounded is the original paper's design
     # and the stable default; set False for literal fork parity.
     bounded_q: bool = True
+    # kernel state-space group: 'u1' (exact torus kernel: periodic net
+    # features + circle-scaling update; detailed balance holds exactly under
+    # the mod-2pi fold) or 'r1' (the fork's literal flat kernel + wrap,
+    # which we measured to bias the 8x8 beta=4 plaquette by ~0.027).
+    group: str = "u1"
     # loss
     metric: str = "cos_diff"
     loss_scale: float = 0.1
@@ -115,25 +120,28 @@ class TrainState(NamedTuple):
 def build_networks(cfg: GaugeConfig):
     """XNet (position, factor=2) and VNet (momentum, factor=1) —
     ``gauge_dynamics.py:121-187``."""
+    # periodic (cos,sin) position features double the position input slot
+    pos_dim = 2 * cfg.x_dim if cfg.group == "u1" else 0
+    pos_ch = 4 if cfg.group == "u1" else 2
     if cfg.network_arch == "mlp":
         xi, xa = make_mlp_net(
             MLPNetSpec(cfg.x_dim, cfg.hidden, factor=2.0, use_bf16=cfg.use_bf16,
-                       bounded_q=cfg.bounded_q)
+                       bounded_q=cfg.bounded_q, x_in_dim=pos_dim)
         )
         vi, va = make_mlp_net(
             MLPNetSpec(cfg.x_dim, cfg.hidden, factor=1.0, use_bf16=cfg.use_bf16,
-                       bounded_q=cfg.bounded_q)
+                       bounded_q=cfg.bounded_q, v_in_dim=pos_dim)
         )
     elif cfg.network_arch == "conv":
         xi, xa = make_conv_net(ConvNetSpec(
             cfg.time_size, cfg.space_size, num_filters=cfg.num_filters,
             num_hidden=cfg.hidden, factor=2.0, use_bf16=cfg.use_bf16,
-            bounded_q=cfg.bounded_q,
+            bounded_q=cfg.bounded_q, x_channels=pos_ch,
         ))
         vi, va = make_conv_net(ConvNetSpec(
             cfg.time_size, cfg.space_size, num_filters=cfg.num_filters,
             num_hidden=cfg.hidden, factor=1.0, use_bf16=cfg.use_bf16,
-            bounded_q=cfg.bounded_q,
+            bounded_q=cfg.bounded_q, v_channels=pos_ch,
         ))
     elif cfg.network_arch == "zero":
         from l2hmc_tpu.networks.nets import make_zero_net
@@ -152,6 +160,7 @@ def build_dynamics(cfg: GaugeConfig):
         eps_trainable=cfg.eps_trainable,
         hmc=cfg.hmc,
         both_directions=cfg.both_directions,
+        group=cfg.group,
     )
     (xi, xa), (vi, va) = build_networks(cfg)
     # analytic-VJP Wilson action (ops/wilson.py): shares the plaquette

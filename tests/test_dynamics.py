@@ -233,3 +233,106 @@ def test_chain_operator(key):
     # with max=1 it must equal a plain transition's proposal magnitude scale
     out1 = dyn["chain_operator"](params, x, 1.0, key, 1)
     assert jnp.all(jnp.isfinite(out1.x_proposed))
+
+
+def _build_u1(key, lt=4, lx=4, num_steps=3, eps=0.2, perturb=0.5):
+    from l2hmc_tpu.lattice import u1 as u1mod
+
+    shape = u1mod.LatticeShape(lt, lx)
+    d = shape.x_dim
+    cfg = DynamicsConfig(x_dim=d, num_steps=num_steps, remat=False, group="u1")
+    xi, xa = make_mlp_net(
+        MLPNetSpec(x_dim=d, num_hidden=16, factor=2.0, bounded_q=True, x_in_dim=2 * d)
+    )
+    vi, va = make_mlp_net(
+        MLPNetSpec(x_dim=d, num_hidden=16, factor=1.0, bounded_q=True, v_in_dim=2 * d)
+    )
+    params = init_dynamics_params(key, cfg, xi, vi, eps_init=eps)
+    if perturb:
+        params = params._replace(
+            xnet={**params.xnet, "coeff_scale": params.xnet["coeff_scale"] + perturb,
+                  "coeff_transformation": params.xnet["coeff_transformation"] + perturb},
+            vnet={**params.vnet, "coeff_scale": params.vnet["coeff_scale"] + perturb},
+        )
+    pot = u1mod.make_potential_fn(shape)
+    dyn = make_dynamics(cfg, pot, xa, va)
+    return cfg, params, dyn, shape
+
+
+def test_u1_circle_scale_properties(key):
+    from l2hmc_tpu.dynamics.l2hmc import make_dynamics as _  # noqa: F401
+    import numpy as _np
+
+    # access circle_scale through a tiny kernel build
+    cfg, params, dyn, shape = _build_u1(key)
+    # reversibility doubles as the circle-scale inverse check below
+
+
+def test_u1_reversibility(key):
+    """Torus kernel: forward then backward returns the start, with the
+    wrap applied inside the update."""
+    cfg, params, dyn, shape = _build_u1(key)
+    from l2hmc_tpu.lattice import u1 as u1mod
+
+    x = u1mod.random_links(key, BATCH, shape)
+    v = jax.random.normal(jax.random.fold_in(key, 1), x.shape)
+    ones = jnp.ones(BATCH)
+    xf, vf, ldf = dyn["integrate"](params, x, v, 1.0, ones)
+    xr, vr, ldb = dyn["integrate"](params, xf, vf, 1.0, -ones)
+    np.testing.assert_allclose(np.asarray(xr), np.asarray(x), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(vr), np.asarray(v), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ldf + ldb), 0.0, atol=1e-4)
+    # states stay wrapped
+    assert float(jnp.max(jnp.abs(xf))) <= np.pi + 1e-5
+
+
+def test_u1_logdet_matches_autodiff(key):
+    """Circle-scaling log-Jacobian == autodiff Jacobian log-det (2x2)."""
+    cfg, params, dyn, shape = _build_u1(key, lt=2, lx=2, num_steps=2)
+    d = shape.x_dim
+
+    def flat_map(xv, direction):
+        x = xv[None, :d]
+        v = xv[None, d:]
+        xo, vo, ld = dyn["integrate"](params, x, v, 1.0, direction * jnp.ones(1))
+        return jnp.concatenate([xo[0], vo[0]]), ld[0]
+
+    xv = jnp.concatenate([
+        jax.random.uniform(key, (d,), minval=-2.5, maxval=2.5),
+        jax.random.normal(jax.random.fold_in(key, 1), (d,)),
+    ])
+    for direction in (1.0, -1.0):
+        jac = jax.jacfwd(lambda z: flat_map(z, direction)[0])(xv)
+        _, ld = flat_map(xv, direction)
+        sign, logdet = jnp.linalg.slogdet(jac)
+        np.testing.assert_allclose(float(ld), float(logdet), rtol=1e-3, atol=1e-3)
+
+
+def test_u1_kernel_detailed_balance_vs_metropolis(key):
+    """End-to-end stationarity: the u1 kernel with NONTRIVIAL nets must
+    reproduce the exact plaquette on a 4x4 lattice at beta=2 (the flat
+    kernel + wrap fails this by construction)."""
+    from l2hmc_tpu.lattice import u1 as u1mod
+
+    cfg, params, dyn, shape = _build_u1(key, lt=4, lx=4, num_steps=3,
+                                        eps=0.15, perturb=0.4)
+
+    @jax.jit
+    def run(x, key):
+        def body(x, k):
+            out = dyn["transition"](params, x, 2.0, k)
+            obs = u1mod.observables(out.x_out, shape)
+            return out.x_out, (obs["plaqs"], out.accept_prob)
+
+        keys = jax.random.split(key, 1500)
+        return jax.lax.scan(body, x, keys)
+
+    x0 = u1mod.random_links(key, 128, shape)
+    _, (plaqs, probs) = run(x0, jax.random.fold_in(key, 2))
+    plaq = float(np.asarray(plaqs)[700:].mean())
+    exact = float(u1mod.u1_plaq_exact(2.0))
+    acc = float(np.asarray(probs).mean())
+    assert acc > 0.2, f"acceptance collapsed: {acc}"
+    assert abs(plaq - exact) < 0.02, (
+        f"u1 kernel biased: plaq {plaq:.5f} vs exact {exact:.5f} (acc {acc:.3f})"
+    )
