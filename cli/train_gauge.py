@@ -65,6 +65,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="in-training eval every N steps (0=off)")
     p.add_argument("--run_steps", type=int, default=2000,
                    help="post-training eval steps per beta")
+    p.add_argument("--eval_init", default="train", choices=["train", "random"],
+                   help="eval chain start: annealed training chains (default; "
+                        "fresh random chains can freeze in metastable defects "
+                        "at large beta) or reference-parity random")
     p.add_argument("--restore", action="store_true")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--tensorboard", action="store_true", help="write TB scalar summaries")
@@ -187,7 +191,10 @@ def main(argv=None):
         eval_chunk = make_eval_chunk(cfg, min(args.run_steps, 1000))
         for beta in (cfg.beta_final, cfg.beta_final - 1.0):
             key, k0, k1 = jax.random.split(key, 3)
-            x = u1.random_links(k0, cfg.num_chains, cfg.shape)
+            if args.eval_init == "train":
+                x = state.x
+            else:
+                x = u1.random_links(k0, cfg.num_chains, cfg.shape)
             all_metrics = {}
             done = 0
             while done < args.run_steps:

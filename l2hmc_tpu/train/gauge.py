@@ -85,6 +85,7 @@ class GaugeConfig:
     lr_init: float = 1e-3
     lr_decay_steps: int = 1000
     lr_decay_rate: float = 0.96
+    lr_warmup_steps: int = 200   # see schedules.make_lr_schedule
     clip_value: float = 1.0          # 0 -> no clipping
     train_steps: int = 5000
     # annealing
@@ -173,7 +174,9 @@ def build_dynamics(cfg: GaugeConfig):
 
 
 def make_optimizer(cfg: GaugeConfig):
-    lr = schedules.make_lr_schedule(cfg.lr_init, cfg.lr_decay_steps, cfg.lr_decay_rate)
+    lr = schedules.make_lr_schedule(
+        cfg.lr_init, cfg.lr_decay_steps, cfg.lr_decay_rate, cfg.lr_warmup_steps
+    )
     # zero_nans: one non-finite grad step must not poison params (the
     # reference's check_numerics would abort instead).
     chain = [optax.zero_nans()]
@@ -256,7 +259,7 @@ def make_train_step(cfg: GaugeConfig):
     loss_fn = make_loss_fn(cfg, dyn)
     tx = make_optimizer(cfg)
     lr_sched = schedules.make_lr_schedule(
-        cfg.lr_init, cfg.lr_decay_steps, cfg.lr_decay_rate
+        cfg.lr_init, cfg.lr_decay_steps, cfg.lr_decay_rate, cfg.lr_warmup_steps
     )
 
     def train_step(state: TrainState, key: jax.Array):

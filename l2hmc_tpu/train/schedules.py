@@ -27,13 +27,27 @@ def beta_schedule(step, train_steps: int, beta_init: float, beta_final: float):
     return 1.0 / inv
 
 
-def make_lr_schedule(lr_init: float, decay_steps: int, decay_rate: float):
-    """Staircase-free exponential decay: lr * rate^(t/steps)
-    (``gauge_model.py:934-939`` uses tf.train.exponential_decay, continuous)."""
-    return optax.exponential_decay(
+def make_lr_schedule(
+    lr_init: float, decay_steps: int, decay_rate: float, warmup_steps: int = 0
+):
+    """Exponential decay ``lr * rate^(t/steps)`` (``gauge_model.py:934-939``)
+    with an optional linear warmup.
+
+    Warmup is NOT in the reference but is load-bearing at scale: Adam's
+    first update moves every parameter by ~lr, and with fan-in ~2*x_dim the
+    S/T/Q outputs jump O(lr * hidden) in function space — at 16x16 that is
+    enough to collapse acceptance to exactly 0 in one step, after which the
+    ESJD gradient vanishes (px = 0) and training is dead.  A few hundred
+    warmup steps keep early updates inside the kernel's stable region.
+    """
+    decay = optax.exponential_decay(
         init_value=lr_init, transition_steps=decay_steps, decay_rate=decay_rate,
         staircase=False,
     )
+    if warmup_steps <= 0:
+        return decay
+    warmup = optax.linear_schedule(0.0, lr_init, warmup_steps)
+    return optax.join_schedules([warmup, decay], [warmup_steps])
 
 
 class TemperatureSchedule(NamedTuple):
