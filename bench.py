@@ -88,6 +88,45 @@ def main():
     ref_rate, _, dt_ref = bench_transition(cfg, True, repeats=3, key=key)
     _trace(f"reference-dataflow: {ref_rate:,.0f} lf-steps/s")
 
+    # ESS/s of the average plaquette: HMC-mode kernel (well-defined without
+    # a trained checkpoint), thermalized chains, 1500 recorded transitions.
+    import dataclasses as _dc
+
+    from l2hmc_tpu.analysis import stats as _stats
+    from l2hmc_tpu.lattice import u1 as _u1
+    from l2hmc_tpu.train import gauge as _G
+
+    hmc_cfg = _dc.replace(cfg, hmc=True, network_arch="zero", eps_init=0.15,
+                          eps_trainable=False)
+    _, dyn, _ = _G.build_dynamics(hmc_cfg)
+    state = _G.init_train_state(hmc_cfg, key)
+
+    @jax.jit
+    def record(params, x, key):
+        def body(x, k):
+            out = dyn["transition"](params, x, 4.0, k)
+            xw = _u1.wrap(out.x_out)
+            return xw, _u1.avg_plaquette(
+                xw.reshape(-1, cfg.time_size, cfg.space_size, 2))
+        keys = jax.random.split(key, 500)
+        return jax.lax.scan(body, x, keys)
+
+    x = _u1.random_links(key, cfg.num_chains, cfg.shape)
+    x, _ = record(state.params, x, key)          # thermalize + compile
+    t0 = time.perf_counter()
+    traces = []
+    for i in range(3):
+        key, sub = jax.random.split(key)
+        x, pl = record(state.params, x, sub)
+        traces.append(np.asarray(pl))
+    wall = time.perf_counter() - t0
+    pl = np.concatenate(traces)                  # (1500, chains)
+    ess_ratio = float(np.mean([
+        _stats.calc_ess(pl[:, c]) for c in range(min(16, pl.shape[1]))
+    ]))
+    ess_per_s = ess_ratio * pl.shape[0] * cfg.num_chains / wall
+    _trace(f"ESS ratio {ess_ratio:.4f} -> {ess_per_s:,.0f} eff samples/s")
+
     result = {
         "metric": "leapfrog_steps_per_s_per_chip",
         "value": round(fused_rate, 1),
@@ -97,6 +136,8 @@ def main():
         "baseline_def": "reference dataflow (compute both directions + mask) on same chip",
         "ms_per_transition": round(dt * 1e3 / CHUNK, 4),
         "accept_prob_untrained": round(acc, 4),
+        "plaq_ess_per_s": round(ess_per_s, 1),
+        "plaq_ess_ratio_hmc": round(ess_ratio, 5),
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
     }
