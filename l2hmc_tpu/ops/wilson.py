@@ -92,31 +92,41 @@ def _pallas_available() -> bool:
         return False
 
 
-def _build_pallas_kernels(lt: int, lx: int, block_b: int):
+def _build_pallas_kernels(lt: int, lx: int, block_b: int, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    def _shift_m1(a, axis):
+        """roll(a, -1, axis) via static slice+concat (Mosaic's roll op
+        SIGABRTs on 3-D blocks; slices lower cleanly)."""
+        n = a.shape[axis]
+        hi = jax.lax.slice_in_dim(a, 1, n, axis=axis)
+        lo = jax.lax.slice_in_dim(a, 0, 1, axis=axis)
+        return jnp.concatenate([hi, lo], axis=axis)
+
+    def _shift_p1(a, axis):
+        n = a.shape[axis]
+        hi = jax.lax.slice_in_dim(a, n - 1, n, axis=axis)
+        lo = jax.lax.slice_in_dim(a, 0, n - 1, axis=axis)
+        return jnp.concatenate([hi, lo], axis=axis)
 
     def fwd_kernel(u0_ref, u1_ref, action_ref, sinp_ref):
         u0 = u0_ref[:]          # (block_b, lt, lx)
         u1 = u1_ref[:]
-        # pltpu.roll requires non-negative shifts: -1 == size-1 (mod size)
-        p = (
-            u0
-            - u1
-            - pltpu.roll(u0, shift=lx - 1, axis=2)
-            + pltpu.roll(u1, shift=lt - 1, axis=1)
-        )
+        p = u0 - u1 - _shift_m1(u0, 2) + _shift_m1(u1, 1)
         sinp_ref[:] = jnp.sin(p)
-        # per-sample action as a rank-2 (block_b, 1) block (rank-1 blocked
-        # outputs are not supported by the TPU lowering)
-        action_ref[:] = jnp.sum(1.0 - jnp.cos(p), axis=(1, 2))[:, None]
+        # reduce over the time axis only: full-rank (block_b, lx) output
+        # (the Mosaic compiler aborts on (b, 1)-shaped reduce outputs); the
+        # final lane reduction happens outside the kernel.
+        action_ref[:] = jnp.sum(1.0 - jnp.cos(p), axis=1)
 
     def bwd_kernel(sinp_ref, g_ref, g0_ref, g1_ref):
         sinp = sinp_ref[:]
-        g = g_ref[:]            # (block_b, 1) cotangent per sample
-        gcol = g[:, :, None]
-        g0_ref[:] = gcol * (sinp - pltpu.roll(sinp, shift=1, axis=2))
-        g1_ref[:] = gcol * (-sinp + pltpu.roll(sinp, shift=1, axis=1))
+        g = g_ref[:]            # (block_b, lx) lane-broadcast cotangent
+        # slice (not gather): Mosaic rejects integer-index gathers here
+        gcol = jax.lax.slice_in_dim(g, 0, 1, axis=1)[:, :, None]
+        g0_ref[:] = gcol * (sinp - _shift_p1(sinp, 2))
+        g1_ref[:] = gcol * (-sinp + _shift_p1(sinp, 1))
 
     def fwd(u0, u1):
         b = u0.shape[0]
@@ -124,18 +134,19 @@ def _build_pallas_kernels(lt: int, lx: int, block_b: int):
         spec3 = pl.BlockSpec(
             (block_b, lt, lx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         )
-        spec2 = pl.BlockSpec((block_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        action, sinp = pl.pallas_call(
+        spec2 = pl.BlockSpec((block_b, lx), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        row_action, sinp = pl.pallas_call(
             fwd_kernel,
+            interpret=interpret,
             grid=grid,
             in_specs=[spec3, spec3],
             out_specs=(spec2, spec3),
             out_shape=(
-                jax.ShapeDtypeStruct((b, 1), u0.dtype),
+                jax.ShapeDtypeStruct((b, lx), u0.dtype),
                 jax.ShapeDtypeStruct(u0.shape, u0.dtype),
             ),
         )(u0, u1)
-        return action[:, 0], sinp
+        return jnp.sum(row_action, axis=-1), sinp
 
     def bwd(sinp, g):
         b = sinp.shape[0]
@@ -143,9 +154,10 @@ def _build_pallas_kernels(lt: int, lx: int, block_b: int):
         spec3 = pl.BlockSpec(
             (block_b, lt, lx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         )
-        spec2 = pl.BlockSpec((block_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        spec2 = pl.BlockSpec((block_b, lx), lambda i: (i, 0), memory_space=pltpu.VMEM)
         return pl.pallas_call(
             bwd_kernel,
+            interpret=interpret,
             grid=grid,
             in_specs=[spec3, spec2],
             out_specs=(spec3, spec3),
@@ -153,14 +165,14 @@ def _build_pallas_kernels(lt: int, lx: int, block_b: int):
                 jax.ShapeDtypeStruct(sinp.shape, sinp.dtype),
                 jax.ShapeDtypeStruct(sinp.shape, sinp.dtype),
             ),
-        )(sinp, g.reshape(b, 1))
+        )(sinp, jnp.broadcast_to(g[:, None], (b, lx)))
 
     return fwd, bwd
 
 
 @functools.lru_cache(maxsize=None)
-def _pallas_action_for(lt: int, lx: int, block_b: int):
-    fwd_call, bwd_call = _build_pallas_kernels(lt, lx, block_b)
+def _pallas_action_for(lt: int, lx: int, block_b: int, interpret: bool = False):
+    fwd_call, bwd_call = _build_pallas_kernels(lt, lx, block_b, interpret)
 
     @jax.custom_vjp
     def action(links):
@@ -181,14 +193,29 @@ def _pallas_action_for(lt: int, lx: int, block_b: int):
     return action
 
 
-def wilson_action_pallas(links: jax.Array, block_b: int = 8) -> jax.Array:
-    """Pallas-fused Wilson action (TPU only); same contract as
-    :func:`wilson_action`.  ``links (B, Lt, Lx, 2)`` with ``B % block_b == 0``.
+def wilson_action_pallas(
+    links: jax.Array, block_b: int = 0, interpret: bool = False
+) -> jax.Array:
+    """Pallas-fused Wilson action; same contract as :func:`wilson_action`.
+    ``links (B, Lt, Lx, 2)``.
+
+    ``block_b=0`` auto-sizes the batch block to keep each VMEM buffer
+    around 1 MB (the kernel holds ~6 live (block_b, Lt, Lx) buffers).
+    ``interpret=True`` runs the kernel in the Pallas interpreter (any
+    backend) — used by the test suite.
+
+    STATUS: kernel math is interpreter-verified; Mosaic compilation on this
+    environment's remote-compile toolchain crashes (SIGABRT) on several
+    lowering patterns (3-D pltpu.roll, narrow reduce outputs), so the
+    production hot path remains the analytic-VJP XLA form
+    (:func:`wilson_action`, measured 2.7x faster than autodiff).
     """
     b, lt, lx, _ = links.shape
-    if b % block_b != 0:
-        block_b = 1
-    return _pallas_action_for(lt, lx, block_b)(links)
+    if block_b <= 0:
+        block_b = max(1, min(8, (1 << 20) // (lt * lx * 4)))
+    while b % block_b != 0 and block_b > 1:
+        block_b -= 1
+    return _pallas_action_for(lt, lx, block_b, interpret)(links)
 
 
 def make_potential_fn(shape, use_pallas: bool = False):

@@ -73,3 +73,18 @@ def test_second_order_through_analytic_vjp(key):
 
     h_ref = jax.grad(inner_ref)(x)
     np.testing.assert_allclose(h, h_ref, rtol=1e-3, atol=1e-4)
+
+
+def test_pallas_kernel_interpret_mode(key):
+    """Pallas Wilson kernel math (forward + analytic backward) verified in
+    interpreter mode on any backend."""
+    links = _random_links(key, b=8, lt=8, lx=8)
+    a_pl = wilson.wilson_action_pallas(links, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(a_pl), np.asarray(u1.wilson_action(links)), rtol=1e-5, atol=1e-5
+    )
+    g_pl = jax.grad(
+        lambda l: jnp.sum(wilson.wilson_action_pallas(l, interpret=True))
+    )(links)
+    g_ref = jax.grad(lambda l: jnp.sum(u1.wilson_action(l)))(links)
+    np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref), rtol=1e-4, atol=1e-5)
