@@ -86,6 +86,13 @@ class GaugeConfig:
     lr_decay_steps: int = 1000
     lr_decay_rate: float = 0.96
     lr_warmup_steps: int = 200   # see schedules.make_lr_schedule
+    # Width-scaled learning rate (muP-style): Adam moves every parameter by
+    # ~lr, so the network-output jump per step grows linearly with the
+    # hidden fan-in; the reference lr (1e-3) is tuned for hidden ~512 (8x8).
+    # Effective lr = lr_init * min(1, lr_width_ref / hidden).  At 32x32
+    # (hidden 4096) the unscaled lr drives eps and the heads past the
+    # kernel's stability region inside the warmup.
+    lr_width_ref: int = 512
     clip_value: float = 1.0          # 0 -> no clipping
     train_steps: int = 5000
     # annealing
@@ -173,9 +180,14 @@ def build_dynamics(cfg: GaugeConfig):
     return dyn_cfg, dyn, (xi, vi)
 
 
+def _effective_lr(cfg: GaugeConfig) -> float:
+    return cfg.lr_init * min(1.0, cfg.lr_width_ref / max(cfg.hidden, 1))
+
+
 def make_optimizer(cfg: GaugeConfig):
     lr = schedules.make_lr_schedule(
-        cfg.lr_init, cfg.lr_decay_steps, cfg.lr_decay_rate, cfg.lr_warmup_steps
+        _effective_lr(cfg), cfg.lr_decay_steps, cfg.lr_decay_rate,
+        cfg.lr_warmup_steps
     )
     # zero_nans: one non-finite grad step must not poison params (the
     # reference's check_numerics would abort instead).
@@ -259,7 +271,8 @@ def make_train_step(cfg: GaugeConfig):
     loss_fn = make_loss_fn(cfg, dyn)
     tx = make_optimizer(cfg)
     lr_sched = schedules.make_lr_schedule(
-        cfg.lr_init, cfg.lr_decay_steps, cfg.lr_decay_rate, cfg.lr_warmup_steps
+        _effective_lr(cfg), cfg.lr_decay_steps, cfg.lr_decay_rate,
+        cfg.lr_warmup_steps
     )
 
     def train_step(state: TrainState, key: jax.Array):
