@@ -36,6 +36,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_steps", type=int, default=3, help="leapfrog steps")
     p.add_argument("--eps", type=float, default=0.35, help="initial step size")
     p.add_argument("--eps_fixed", action="store_true", help="freeze step size")
+    p.add_argument("--eps_cap", type=float, default=0.0,
+                   help="upper bound on trainable eps (0 = unbounded)")
     p.add_argument("--hmc", action="store_true", help="plain-HMC mode (zero nets)")
     p.add_argument("--network_arch", default="conv", choices=["conv", "mlp", "zero"])
     p.add_argument("--num_hidden", type=int, default=0, help="0 -> 2*x_dim")
@@ -83,7 +85,7 @@ def flags_to_config(a):
     return GaugeConfig(
         time_size=a.time_size, space_size=a.space_size,
         num_chains=a.num_samples, num_steps=a.num_steps, eps_init=a.eps,
-        eps_trainable=not a.eps_fixed, hmc=a.hmc,
+        eps_cap=a.eps_cap, eps_trainable=not a.eps_fixed, hmc=a.hmc,
         network_arch="zero" if a.hmc else a.network_arch,
         num_hidden=a.num_hidden, num_filters=a.num_filters, use_bf16=a.bf16,
         metric=a.metric, loss_scale=a.loss_scale, std_weight=a.std_weight,

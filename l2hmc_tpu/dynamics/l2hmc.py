@@ -84,6 +84,13 @@ class DynamicsConfig:
     # irreversible); we measured the resulting plaquette bias at ~0.027 on
     # 8x8 beta=4 (0.8365 vs exact 0.8633).
     group: str = "r1"
+    # Upper bound on the trainable step size (0 = unbounded, reference
+    # semantics).  The ESJD objective rewards larger eps right up to the
+    # acceptance cliff; with Adam momentum the parameter can coast past it,
+    # acceptance hits exactly 0, gradients vanish, and training dies (seen
+    # reproducibly at 32x32).  A cap at the known-stable scale removes the
+    # runaway without affecting eps decreases.
+    eps_cap: float = 0.0
 
 
 class DynamicsParams(NamedTuple):
@@ -149,7 +156,10 @@ def init_dynamics_params(
 
 
 def get_eps(params: DynamicsParams, cfg: DynamicsConfig) -> jax.Array:
-    return jnp.exp(params.raw_eps) if cfg.use_log_eps else params.raw_eps
+    eps = jnp.exp(params.raw_eps) if cfg.use_log_eps else params.raw_eps
+    if cfg.eps_cap > 0:
+        eps = jnp.minimum(eps, cfg.eps_cap)
+    return eps
 
 
 def make_dynamics(

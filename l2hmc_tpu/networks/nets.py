@@ -236,6 +236,7 @@ class ConvNetSpec:
     factor: float = 1.0
     use_bf16: bool = False
     bounded_q: bool = False  # tanh on the transformation head (stability)
+    use_lrn: bool = False    # ConvNet2D parity: local response normalization
     # image channels per input (2 link directions; 4 when the position is
     # fed as periodic cos/sin features)
     v_channels: int = 2
@@ -269,6 +270,25 @@ def _grouped_conv(x, w, b, stride: int, compute_dtype=None):
     return _conv2d_periodic({"w": w, "b": b}, x, compute_dtype, stride)
 
 
+def local_response_norm(
+    x: jax.Array, n: int = 5, k: float = 2.0, alpha: float = 1e-4, beta: float = 0.75
+) -> jax.Array:
+    """``tf.nn.local_response_normalization`` semantics on NHWC
+    (ConvNet2D parity, ``conv_net.py:466-478``): divide by
+    ``(k + alpha * sum_{c window} x^2)^beta`` over a channel window of
+    ``n`` on each side.  Implemented as shifted sums (channel counts are
+    tiny here, so this is a handful of fused adds)."""
+    sq = x * x
+    c = x.shape[-1]
+    total = sq
+    for off in range(1, n + 1):
+        if off < c:
+            z = jnp.zeros_like(sq[..., :off])
+            total = total + jnp.concatenate([sq[..., off:], z], axis=-1)
+            total = total + jnp.concatenate([z, sq[..., :-off]], axis=-1)
+    return x / jnp.power(k + alpha * total, beta)
+
+
 @dataclasses.dataclass(frozen=True)
 class ConvNetSpec:
     """Static spec for the periodic-CNN S/T/Q network.
@@ -291,6 +311,7 @@ class ConvNetSpec:
     factor: float = 1.0
     use_bf16: bool = False
     bounded_q: bool = False  # tanh on the transformation head (stability)
+    use_lrn: bool = False    # ConvNet2D parity: local response normalization
     # image channels per input (2 link directions; 4 when the position is
     # fed as periodic cos/sin features)
     v_channels: int = 2
@@ -352,7 +373,11 @@ def make_conv_net(spec: ConvNetSpec):
     def conv_stack(p1: Params, p2: Params, flat: jax.Array) -> jax.Array:
         img = to_image(flat)
         y = jax.nn.relu(_conv2d_periodic(p1, img, compute_dtype))
+        if spec.use_lrn:
+            y = local_response_norm(y)
         y = jax.nn.relu(_conv2d_periodic(p2, y, compute_dtype, stride=2))
+        if spec.use_lrn:
+            y = local_response_norm(y)
         return y.reshape(flat.shape[0], -1)
 
     def apply(params: Params, v: jax.Array, x: jax.Array, t: jax.Array, aux=None):

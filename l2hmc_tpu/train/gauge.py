@@ -58,6 +58,7 @@ class GaugeConfig:
     num_chains: int = 128            # reference num_samples
     num_steps: int = 3               # leapfrog steps (args.txt: 3)
     eps_init: float = 0.35
+    eps_cap: float = 0.0             # see DynamicsConfig.eps_cap
     eps_trainable: bool = True
     hmc: bool = False
     network_arch: str = "conv"       # 'conv' | 'mlp' | 'zero'
@@ -169,6 +170,7 @@ def build_dynamics(cfg: GaugeConfig):
         hmc=cfg.hmc,
         both_directions=cfg.both_directions,
         group=cfg.group,
+        eps_cap=cfg.eps_cap,
     )
     (xi, xa), (vi, va) = build_networks(cfg)
     # analytic-VJP Wilson action (ops/wilson.py): shares the plaquette

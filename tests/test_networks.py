@@ -122,3 +122,25 @@ def test_bf16_compute_close_to_f32(key):
     t = jnp.zeros((4, 2))
     for a, b in zip(apply32(params, v, x, t), apply16(params, v, x, t)):
         np.testing.assert_allclose(a, b, atol=0.05, rtol=0.1)
+
+
+def test_lrn_variant(key):
+    """ConvNet2D parity: LRN between conv stages (conv_net.py:466-478)."""
+    from l2hmc_tpu.networks.nets import local_response_norm
+
+    x = jax.random.normal(key, (2, 4, 4, 8))
+    y = local_response_norm(x)
+    assert y.shape == x.shape
+    # matches the definitional formula for the middle channel
+    sq = np.asarray(x) ** 2
+    c = 4
+    window = sq[..., max(0, c - 5):c + 6].sum(-1)
+    expected = np.asarray(x)[..., c] / (2.0 + 1e-4 * window) ** 0.75
+    np.testing.assert_allclose(np.asarray(y)[..., c], expected, rtol=1e-5)
+
+    spec = ConvNetSpec(time_size=8, space_size=8, num_filters=4, num_hidden=32,
+                       use_lrn=True)
+    init, apply = make_conv_net(spec)
+    params = init(key)
+    s, t, q = apply(params, jnp.ones((2, 128)), jnp.ones((2, 128)), jnp.zeros((2, 2)))
+    assert np.isfinite(np.asarray(s)).all()
