@@ -6,9 +6,10 @@ Rebuild of the reference's group-theory helpers
 near-identity group elements via ``expm(i alpha.T)``, SU(N) plaquettes as
 link-matrix products, and the Wilson action ``sum (1 - Re tr P / N)``.
 
-As in the reference (SURVEY §7.4) this is scaffolding: the L2HMC dynamics
-run on flat real U(1) angles; SU(N) sampling is future work.  The operators
-here are exact and tested (unitarity, det=1, gauge invariance).
+The operators here are exact and tested (unitarity, det=1, gauge
+invariance).  Unlike the reference (where SU(N) is dead scaffolding,
+SURVEY §7.4), these feed working samplers: :mod:`l2hmc_tpu.dynamics.su2_hmc`
+(quaternion SU(2)) and :mod:`l2hmc_tpu.dynamics.sun_hmc` (matrix SU(N)).
 """
 
 from __future__ import annotations
