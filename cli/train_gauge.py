@@ -210,6 +210,7 @@ def main(argv=None):
                 {k: v.mean(axis=-1) for k, v in merged.items()}
             )
             summary["plaq_exact"] = float(u1.u1_plaq_exact(beta))
+            summary["wloop22_exact"] = float(u1.wilson_loop_exact(beta, 4))
             out_file = run_dir / f"eval_beta{beta:g}.json"
             if jax.process_index() == 0:
                 out_file.write_text(json.dumps(summary, indent=2, default=str))

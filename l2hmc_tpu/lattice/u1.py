@@ -207,6 +207,49 @@ def wrap(x: jax.Array) -> jax.Array:
     return project_angle(x)
 
 
+def wilson_loop_sums(links: jax.Array, r: int, t: int) -> jax.Array:
+    """Angle around every ``t x r`` (time x space) Wilson loop.
+
+    For U(1) in 2-D the loop angle telescopes exactly into the sum of the
+    plaquette angles it encloses (abelian Stokes), so an ``(t, r)`` box-sum
+    of :func:`plaq_sums` gives the rectangle operator the reference's
+    legacy lattice computed link-by-link (``lattice/gauge_lattice.py:581-604``)
+    — here vectorized over all sites and the whole batch.
+
+    Input ``(..., Lt, Lx, 2)``; output ``(..., Lt, Lx)``.
+    """
+    p = plaq_sums(links)
+    box = jnp.zeros_like(p)
+    for i in range(t):
+        for j in range(r):
+            box = box + jnp.roll(p, shift=(-i, -j), axis=(-2, -1))
+    return box
+
+
+def wilson_loop(links: jax.Array, r: int, t: int) -> jax.Array:
+    """Per-sample expectation ``<W(t x r)> = <cos(loop angle)>``."""
+    return jnp.mean(jnp.cos(wilson_loop_sums(links, r, t)), axis=(-2, -1))
+
+
+def wilson_loop_exact(beta, area: int) -> jax.Array:
+    """Exact 2-D area law ``<W> = (I1/I0)^area`` (infinite volume).
+
+    In 2-D the plaquette angles factorize, so a loop of area A averages to
+    the single-plaquette expectation to the power A — the string-tension
+    oracle extending :func:`u1_plaq_exact` (area 1) to all rectangles.
+    """
+    return u1_plaq_exact(beta) ** area
+
+
+def creutz_ratio(w_rt, w_r1t1, w_r1t, w_rt1) -> jax.Array:
+    """Creutz ratio ``chi = -log(W(R,T) W(R-1,T-1) / (W(R-1,T) W(R,T-1)))``.
+
+    Estimates the string tension; exactly ``-log(I1/I0)`` per unit area in
+    2-D U(1) — so it doubles as a correctness anchor at any (R, T).
+    """
+    return -jnp.log(w_rt * w_r1t1 / (w_r1t * w_rt1))
+
+
 # ---------------------------------------------------------------------------
 # Observables bundle (one fused pass for the metrics table)
 # ---------------------------------------------------------------------------

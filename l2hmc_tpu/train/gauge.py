@@ -345,6 +345,9 @@ def make_eval_chunk(cfg: GaugeConfig, chunk_size: int):
                 "actions": obs["actions"],
                 "plaqs": obs["plaqs"],
                 "charges": obs["charges"],
+                # 2x2 Wilson loop: string-tension observable with the exact
+                # 2-D area-law anchor (I1/I0)^4 (lattice/u1.py wilson_loop)
+                "wloop22": u1.wilson_loop(u1.to_links(x_new, shape), 2, 2),
             }
             return x_new, step_metrics
 

@@ -146,3 +146,65 @@ def test_action_shift_invariance(key):
     np.testing.assert_allclose(
         wilson_action(links), wilson_action(bumped), rtol=1e-5, atol=1e-4
     )
+
+
+def test_wilson_loop_1x1_is_plaquette(key):
+    from l2hmc_tpu.lattice import wilson_loop_sums
+
+    links = to_links(random_links(key, 2, SHAPE), SHAPE)
+    np.testing.assert_allclose(
+        np.asarray(wilson_loop_sums(links, 1, 1)), np.asarray(plaq_sums(links)),
+        rtol=1e-6,
+    )
+
+
+def test_wilson_loop_stokes_identity(key):
+    """Box-sum of plaquette angles == explicit boundary-link sum (abelian
+    Stokes), at every site, for a generic random configuration."""
+    from l2hmc_tpu.lattice import wilson_loop_sums
+
+    r, t = 3, 2
+    links = to_links(random_links(key, 2, SHAPE), SHAPE)
+    u0, u1 = links[..., 0], links[..., 1]
+    # telescoped boundary form of sum_{i<t,j<r} P(t0+i, x0+j)
+    side_u0 = sum(
+        jnp.roll(u0, (-i, 0), axis=(-2, -1))
+        - jnp.roll(u0, (-i, -r), axis=(-2, -1))
+        for i in range(t)
+    )
+    side_u1 = sum(
+        jnp.roll(u1, (-t, -j), axis=(-2, -1))
+        - jnp.roll(u1, (0, -j), axis=(-2, -1))
+        for j in range(r)
+    )
+    np.testing.assert_allclose(
+        np.asarray(wilson_loop_sums(links, r, t)),
+        np.asarray(side_u0 + side_u1),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_wilson_loop_area_law(key):
+    """Metropolis ensemble at beta=2 reproduces <W(RxT)> = (I1/I0)^{RT} and
+    the Creutz ratio -log(I1/I0)."""
+    from l2hmc_tpu.lattice import creutz_ratio, wilson_loop, wilson_loop_exact
+    from l2hmc_tpu.lattice.metropolis import metropolis_sweep
+
+    beta = 2.0
+    links = to_links(random_links(key, 16, SHAPE), SHAPE)
+
+    def body(ls, k):
+        out, _ = metropolis_sweep(ls, beta, k, 1.0)
+        return out, jnp.stack(
+            [wilson_loop(out, 2, 2), wilson_loop(out, 1, 1),
+             wilson_loop(out, 1, 2), wilson_loop(out, 2, 1)]
+        )
+
+    keys = jax.random.split(jax.random.fold_in(key, 7), 400)
+    _, ws = jax.lax.scan(body, links, keys)
+    w22, w11, w12, w21 = np.asarray(ws)[200:].mean(axis=(0, 2))
+    assert abs(w22 - float(wilson_loop_exact(beta, 4))) < 0.02, w22
+    assert abs(w12 - float(wilson_loop_exact(beta, 2))) < 0.02, w12
+    chi = float(creutz_ratio(w22, w11, w12, w21))
+    exact_chi = -float(np.log(u1_plaq_exact(beta)))
+    assert abs(chi - exact_chi) < 0.06, (chi, exact_chi)
