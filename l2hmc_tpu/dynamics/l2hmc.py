@@ -222,9 +222,10 @@ def make_dynamics(
         s, t, q = vnet_apply_(params.vnet, pos_features(x), g, tau, aux)
         half_s = 0.5 * eps * s
         a = 0.5 * eps * (jnp.exp(eps * q) * g - t)
-        fwd = v * jnp.exp(half_s) - a
-        bwd = (v + a) * jnp.exp(-half_s)
-        v_new = jnp.where(d_col > 0, fwd, bwd)
+        # one signed exp instead of separate exp(+h)/exp(-h) branches:
+        # fwd (d=+1): v*exp(h) - a;  bwd (d=-1): (v+a)*exp(-h)
+        e = jnp.exp(d_col * half_s)
+        v_new = jnp.where(d_col > 0, v * e - a, (v + a) * e)
         logdet = d_row * jnp.sum(half_s, axis=-1)
         return v_new, logdet
 
@@ -257,19 +258,19 @@ def make_dynamics(
         es = eps * s
         b = eps * (jnp.exp(eps * q) * v + t)
         if not periodic:
-            fwd = x * jnp.exp(es) + b
-            bwd = (x - b) * jnp.exp(-es)
-            upd = jnp.where(d_col > 0, fwd, bwd)
+            # one signed exp: fwd (d=+1) x*exp(es)+b; bwd (d=-1) (x-b)*exp(-es)
+            e = jnp.exp(d_col * es)
+            upd = jnp.where(d_col > 0, x * e + b, (x - b) * e)
             ld_elem = es
         else:
             # forward: x -> wrap(circle_scale(x, es) + b)
-            y_f, ld_f = circle_scale(x, es)
-            fwd = _wrap(y_f + b)
             # backward (inverse): x -> circle_scale(wrap(x - b), -es)
-            y_b, ld_b = circle_scale(_wrap(x - b), -es)
-            bwd = y_b
-            upd = jnp.where(d_col > 0, fwd, bwd)
-            ld_elem = jnp.where(d_col > 0, ld_f, ld_b)
+            # Select the *input* and run ONE signed circle_scale — halves the
+            # sin/cos/exp/atan2/log work vs computing both branches.
+            u = jnp.where(d_col > 0, x, _wrap(x - b))
+            y, ld = circle_scale(u, d_col * es)
+            upd = jnp.where(d_col > 0, _wrap(y + b), y)
+            ld_elem = ld  # signed per-direction Jacobian by construction
         x_new = hold_mask * x + (1.0 - hold_mask) * upd
         if not periodic:
             logdet = d_row * jnp.sum((1.0 - hold_mask) * ld_elem, axis=-1)
