@@ -204,11 +204,14 @@ def wilson_action_pallas(
     ``interpret=True`` runs the kernel in the Pallas interpreter (any
     backend) — used by the test suite.
 
-    STATUS: kernel math is interpreter-verified; Mosaic compilation on this
-    environment's remote-compile toolchain crashes (SIGABRT) on several
-    lowering patterns (3-D pltpu.roll, narrow reduce outputs), so the
-    production hot path remains the analytic-VJP XLA form
-    (:func:`wilson_action`, measured 2.7x faster than autodiff).
+    STATUS: compiles and matches on TPU (the slice-based shift and
+    full-rank-output patterns avoid the Mosaic lowering crashes hit by
+    roll/narrow-reduce forms).  Measured scan-resident at (1024, 16, 16, 2):
+    141 us per value+grad for the analytic-VJP XLA form vs 255 us for this
+    kernel — XLA's fusion of the rolls/trig with neighboring scan-body ops
+    beats a standalone hand kernel at these sizes, so the XLA form stays
+    the production hot path and this kernel is kept as the large-L
+    fallback and as executable documentation of the fusion pattern.
     """
     b, lt, lx, _ = links.shape
     if block_b <= 0:
