@@ -36,7 +36,8 @@ def _trace(msg):
 CHUNK = 100  # transitions per device program
 
 
-def bench_transition(cfg, both_directions: bool, repeats: int, key):
+def bench_transition(cfg, both_directions: bool, repeats: int, key,
+                     want_cost: bool = False):
     from l2hmc_tpu.train import gauge as G
     from l2hmc_tpu.lattice import u1
     import dataclasses
@@ -46,7 +47,6 @@ def bench_transition(cfg, both_directions: bool, repeats: int, key):
     state = G.init_train_state(cfg, key)
     _, dyn, _ = G.build_dynamics(cfg)
 
-    @jax.jit
     def sample_chunk(params, x, key):
         def body(x, k):
             out = dyn["transition"](params, x, 4.0, k)
@@ -58,7 +58,10 @@ def bench_transition(cfg, both_directions: bool, repeats: int, key):
 
     x = u1.random_links(key, cfg.num_chains, cfg.shape)
     _trace("compiling + warmup...")
-    x, acc, digest = sample_chunk(state.params, x, key)
+    # AOT compile: the compiled object also yields the XLA cost model
+    # (FLOPs / HBM bytes) used for the roofline report.
+    compiled = jax.jit(sample_chunk).lower(state.params, x, key).compile()
+    x, acc, digest = compiled(state.params, x, key)
     float(digest)  # drain
     _trace("warm; timing...")
 
@@ -66,12 +69,19 @@ def bench_transition(cfg, both_directions: bool, repeats: int, key):
     for i in range(repeats):
         key, sub = jax.random.split(key)
         t0 = time.perf_counter()
-        x, acc, digest = sample_chunk(state.params, x, sub)
+        x, acc, digest = compiled(state.params, x, sub)
         float(digest)  # drain
         dt = time.perf_counter() - t0
         best = min(best, dt)
     lf_steps = CHUNK * cfg.num_steps * cfg.num_chains
-    return lf_steps / best, float(acc), best
+    cost = None
+    if want_cost:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        # XLA counts the while body once -> these are per-transition figures
+        cost = {"flops": ca.get("flops"), "bytes": ca.get("bytes accessed"),
+                "transcendentals": ca.get("transcendentals")}
+    return lf_steps / best, float(acc), best, cost
 
 
 def main():
@@ -86,15 +96,36 @@ def main():
     import dataclasses as _dc0
 
     # canonical batch (reference config: 128 chains) — latency-floor regime
-    fused128, acc, dt = bench_transition(cfg, False, repeats=5, key=key)
+    fused128, acc, dt, _ = bench_transition(cfg, False, repeats=5, key=key)
     _trace(f"fused@128: {fused128:,.0f} lf-steps/s ({dt*1e3/CHUNK:.3f} ms/transition)")
     # throughput-optimal batch: chains are embarrassingly parallel, so the
     # per-chip headline is measured at a batch that fills the chip
     big = _dc0.replace(cfg, num_chains=1024)
-    fused_rate, _, dt_big = bench_transition(big, False, repeats=4, key=key)
+    fused_rate, _, dt_big, cost = bench_transition(big, False, repeats=4,
+                                                   key=key, want_cost=True)
     _trace(f"fused@1024: {fused_rate:,.0f} lf-steps/s")
-    ref_rate, _, dt_ref = bench_transition(big, True, repeats=2, key=key)
+    ref_rate, _, dt_ref, _ = bench_transition(big, True, repeats=2, key=key)
     _trace(f"reference-dataflow@1024: {ref_rate:,.0f} lf-steps/s")
+
+    # roofline for the log-prob+leapfrog transition (BASELINE.md deliverable):
+    # XLA cost model vs v5e peaks (f32 MXU ~49 TFLOP/s, HBM ~819 GB/s)
+    roofline = {}
+    if cost and cost["flops"]:
+        t_tr = dt_big / CHUNK
+        flop_floor = cost["flops"] / 49e12
+        hbm_floor = cost["bytes"] / 819e9
+        sol = max(flop_floor, hbm_floor)
+        roofline = {
+            "flops_per_transition": cost["flops"],
+            "hbm_bytes_per_transition": cost["bytes"],
+            "arithmetic_intensity_flop_per_byte": round(
+                cost["flops"] / cost["bytes"], 1),
+            "sustained_tflops": round(cost["flops"] / t_tr / 1e12, 2),
+            "pct_of_speed_of_light": round(100 * sol / t_tr, 1),
+        }
+        _trace(f"roofline: {roofline['sustained_tflops']} TFLOP/s sustained, "
+               f"{roofline['pct_of_speed_of_light']}% of speed-of-light "
+               f"(AI {roofline['arithmetic_intensity_flop_per_byte']} flop/B)")
 
     # ESS/s of the average plaquette: HMC-mode kernel (well-defined without
     # a trained checkpoint), thermalized chains, 1500 recorded transitions.
@@ -152,6 +183,7 @@ def main():
         "plaq_ess_ratio_hmc": round(ess_ratio, 5),
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
+        **roofline,
     }
     print(json.dumps(result))
 
