@@ -34,7 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--space_size", type=int, default=8)
     p.add_argument("--num_samples", type=int, default=128, help="number of chains")
     p.add_argument("--num_steps", type=int, default=3, help="leapfrog steps")
-    p.add_argument("--eps", type=float, default=0.35, help="initial step size")
+    p.add_argument("--eps", default="0.35",
+                   help="initial step size, or 'auto' for the volume-scaled "
+                        "rule 0.35*(64/V)^(1/4) (leapfrog error grows ~V*eps^4; "
+                        "a constant eps at large V starts in the zero-acceptance "
+                        "dead-gradient trap)")
     p.add_argument("--eps_fixed", action="store_true", help="freeze step size")
     p.add_argument("--eps_cap", type=float, default=0.0,
                    help="upper bound on trainable eps (0 = unbounded)")
@@ -79,12 +83,20 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def resolve_eps(a) -> float:
+    if str(a.eps) != "auto":
+        return float(a.eps)
+    vol = a.time_size * a.space_size
+    return 0.35 * (64.0 / vol) ** 0.25
+
+
 def flags_to_config(a):
     from l2hmc_tpu.train.gauge import GaugeConfig
 
     return GaugeConfig(
         time_size=a.time_size, space_size=a.space_size,
-        num_chains=a.num_samples, num_steps=a.num_steps, eps_init=a.eps,
+        num_chains=a.num_samples, num_steps=a.num_steps,
+        eps_init=resolve_eps(a),
         eps_cap=a.eps_cap, eps_trainable=not a.eps_fixed, hmc=a.hmc,
         network_arch="zero" if a.hmc else a.network_arch,
         num_hidden=a.num_hidden, num_filters=a.num_filters, use_bf16=a.bf16,
