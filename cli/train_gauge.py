@@ -50,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--group", default="u1", choices=["u1", "r1"],
                    help="kernel state space: exact torus (u1) or flat+wrap (r1)")
     # loss
+    p.add_argument("--action", default="wilson", choices=["wilson", "improved"],
+                   help="gauge action: Wilson or tree-level Symanzik-improved")
+    p.add_argument("--rect_c1", type=float, default=-1.0 / 12.0,
+                   help="rectangle coefficient for --action improved")
     p.add_argument("--metric", default="cos_diff")
     p.add_argument("--loss_scale", type=float, default=0.1)
     p.add_argument("--std_weight", type=float, default=1.0)
@@ -106,6 +110,7 @@ def flags_to_config(a):
         lr_decay_rate=a.lr_decay_rate, clip_value=a.clip_value,
         train_steps=a.train_steps, beta_init=a.beta_init,
         beta_final=a.beta_final, group=a.group,
+        action=a.action, rect_c1=a.rect_c1,
     )
 
 

@@ -32,6 +32,12 @@ def build_parser():
     p.add_argument("--n", type=int, default=2, choices=[2, 3], help="SU(N)")
     p.add_argument("--time_size", type=int, default=8)
     p.add_argument("--space_size", type=int, default=8)
+    p.add_argument("--dims", type=int, nargs="+", default=None,
+                   help="d-dimensional lattice extents (e.g. --dims 4 4 4 4 "
+                        "for 4-D); HMC-only path via lattice.sun_nd")
+    p.add_argument("--rect_c1", type=float, default=0.0,
+                   help="rectangle-improved action coefficient "
+                        "(with --dims; 0 = Wilson, -1/12 = tree Symanzik)")
     p.add_argument("--beta", type=float, default=2.0)
     p.add_argument("--num_samples", type=int, default=32, help="chains")
     p.add_argument("--num_steps", type=int, default=3, help="leapfrog steps")
@@ -70,6 +76,40 @@ def main(argv=None):
     (run_dir / "params.json").write_text(json.dumps(vars(args), indent=2))
     logger = MetricsLogger(run_dir)
     key = jax.random.PRNGKey(args.seed)
+
+    if args.dims is not None:
+        # d-dimensional path (4-D SU(3) etc.): HMC sampling via sun_nd.
+        from l2hmc_tpu.lattice.sun_nd import (
+            sun_nd_hmc_chain, sun_plaq_strong_coupling,
+        )
+
+        if not args.hmc:
+            log("--dims implies --hmc (the learned kernel is 2-D); "
+                "sampling with plain Lie-group HMC")
+        key, sub = jax.random.split(key)
+        plaqs, probs = jax.jit(
+            lambda k: sun_nd_hmc_chain(
+                k, n=args.n, dims=tuple(args.dims), beta=args.beta,
+                num_samples=args.run_steps, batch=args.num_samples,
+                eps=args.eps, num_steps=args.num_steps, c1=args.rect_c1,
+            )
+        )(sub)
+        cut = int(args.therm_frac * args.run_steps)
+        meas = float(np.asarray(plaqs)[cut:].mean())
+        summary = {
+            "n": args.n, "beta": args.beta, "dims": list(args.dims),
+            "rect_c1": args.rect_c1, "plaq": meas,
+            "plaq_strong_coupling_lo": sun_plaq_strong_coupling(args.n, args.beta),
+            "accept_prob": float(np.asarray(probs).mean()),
+            "mode": "hmc_nd",
+        }
+        (run_dir / "eval.json").write_text(json.dumps(summary, indent=2))
+        log(f"SU({args.n}) {'x'.join(map(str, args.dims))} beta={args.beta:g}"
+            f" c1={args.rect_c1:g}: plaq={meas:.5f} "
+            f"(strong-coupling LO {summary['plaq_strong_coupling_lo']:.5f}) "
+            f"acc={summary['accept_prob']:.3f} -> {run_dir}")
+        logger.close()
+        return 0
     n, beta = args.n, args.beta
     exact = sun_plaq_exact(n, beta)
     key, k0 = jax.random.split(key)

@@ -251,6 +251,71 @@ def creutz_ratio(w_rt, w_r1t1, w_r1t, w_rt1) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# Rectangle-improved (Symanzik) action
+# ---------------------------------------------------------------------------
+
+
+def rect_sums(links: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Angle sums around the 2x1 (time-long) and 1x2 (space-long) rectangles.
+
+    The reference carries rectangle-improved staple scaffolding
+    (``lattice/gauge_generators.py:83-152``, truncated mid-function) and a
+    link-by-link rectangle operator (``lattice/gauge_lattice.py:581-604``)
+    but never a runnable improved action; this is the working vectorized
+    form.  With the same orientation conventions as :func:`plaq_sums`::
+
+        R_t(n) = u0(n) + u0(n+e0) + u1(n+2e0) - u0(n+e0+e1) - u0(n+e1) - u1(n)
+        R_x(n) = u0(n) + u1(n+e0) + u1(n+e0+e1) - u0(n+2e1) - u1(n+e1) - u1(n)
+
+    Input ``(..., Lt, Lx, 2)``; output two arrays ``(..., Lt, Lx)``.
+    """
+    u0 = links[..., 0]
+    u1 = links[..., 1]
+    r = lambda a, st, sx: jnp.roll(a, shift=(-st, -sx), axis=(-2, -1))
+    rect_t = (
+        u0 + r(u0, 1, 0) + r(u1, 2, 0) - r(u0, 1, 1) - r(u0, 0, 1) - u1
+    )
+    rect_x = (
+        u0 + r(u1, 1, 0) + r(u1, 1, 1) - r(u0, 0, 2) - r(u1, 0, 1) - u1
+    )
+    return rect_t, rect_x
+
+
+def improved_action(links: jax.Array, c1: float = -1.0 / 12.0) -> jax.Array:
+    """Tree-level Symanzik-improved action per sample.
+
+    ``S = c0 sum(1 - cos P) + c1 sum(1 - cos R)`` over both rectangle
+    orientations, with the normalization ``c0 = 1 - 8 c1`` so the continuum
+    limit keeps the Wilson coupling convention.  ``c1 = -1/12`` is the
+    tree-level Luscher-Weisz coefficient; ``c1 = 0`` reduces exactly to
+    :func:`wilson_action`.
+    """
+    c0 = 1.0 - 8.0 * c1
+    s = c0 * jnp.sum(1.0 - jnp.cos(plaq_sums(links)), axis=(-2, -1))
+    if c1 != 0.0:
+        rect_t, rect_x = rect_sums(links)
+        s = s + c1 * (
+            jnp.sum(1.0 - jnp.cos(rect_t), axis=(-2, -1))
+            + jnp.sum(1.0 - jnp.cos(rect_x), axis=(-2, -1))
+        )
+    return s
+
+
+def make_improved_potential_fn(shape: LatticeShape, c1: float = -1.0 / 12.0):
+    """``U(x) -> per-sample improved action`` on flat states.
+
+    Same L1->L3 contract as :func:`make_potential_fn`; gradients via
+    autodiff (the rolls/trig fuse into the scan body the same way the
+    Wilson form does).
+    """
+
+    def potential(x: jax.Array) -> jax.Array:
+        return improved_action(to_links(x, shape), c1)
+
+    return potential
+
+
+# ---------------------------------------------------------------------------
 # Observables bundle (one fused pass for the metrics table)
 # ---------------------------------------------------------------------------
 

@@ -101,6 +101,11 @@ class GaugeConfig:
     beta_final: float = 4.0
     # both_directions debug parity mode
     both_directions: bool = False
+    # gauge action: 'wilson' (analytic-VJP hot path) or 'improved'
+    # (tree-level Symanzik, u1.improved_action).  Note the exact-plaquette
+    # oracle I1/I0(beta) applies to the Wilson action only.
+    action: str = "wilson"
+    rect_c1: float = -1.0 / 12.0     # rectangle coefficient for 'improved'
 
     @property
     def shape(self) -> u1.LatticeShape:
@@ -173,11 +178,16 @@ def build_dynamics(cfg: GaugeConfig):
         eps_cap=cfg.eps_cap,
     )
     (xi, xa), (vi, va) = build_networks(cfg)
-    # analytic-VJP Wilson action (ops/wilson.py): shares the plaquette
-    # computation between S and dS/dx and keeps the backward to two rolls.
-    from l2hmc_tpu.ops.wilson import make_potential_fn as make_fast_potential
+    if cfg.action == "improved":
+        potential = u1.make_improved_potential_fn(cfg.shape, cfg.rect_c1)
+    elif cfg.action == "wilson":
+        # analytic-VJP Wilson action (ops/wilson.py): shares the plaquette
+        # computation between S and dS/dx, keeps the backward to two rolls.
+        from l2hmc_tpu.ops.wilson import make_potential_fn as make_fast_potential
 
-    potential = make_fast_potential(cfg.shape)
+        potential = make_fast_potential(cfg.shape)
+    else:
+        raise ValueError(f"action={cfg.action!r}")
     dyn = make_dynamics(dyn_cfg, potential, xa, va)
     return dyn_cfg, dyn, (xi, vi)
 

@@ -208,3 +208,63 @@ def test_wilson_loop_area_law(key):
     chi = float(creutz_ratio(w22, w11, w12, w21))
     exact_chi = -float(np.log(u1_plaq_exact(beta)))
     assert abs(chi - exact_chi) < 0.06, (chi, exact_chi)
+
+
+def test_improved_action_reduces_to_wilson(key):
+    """c1=0 improved action == Wilson action exactly."""
+    from l2hmc_tpu.lattice.u1 import improved_action
+
+    links = jax.random.uniform(key, (4, 6, 6, 2), minval=-np.pi, maxval=np.pi)
+    np.testing.assert_allclose(
+        np.asarray(improved_action(links, c1=0.0)),
+        np.asarray(wilson_action(links)),
+        rtol=1e-6,
+    )
+
+
+def test_improved_action_gauge_invariance(key):
+    """Rectangle sums close, so the improved action is gauge invariant."""
+    from l2hmc_tpu.lattice.u1 import improved_action
+
+    k1, k2 = jax.random.split(key)
+    links = jax.random.uniform(k1, (3, 8, 8, 2), minval=-np.pi, maxval=np.pi)
+    alpha = jax.random.uniform(k2, (3, 8, 8), minval=-np.pi, maxval=np.pi)
+    transformed = jnp.stack(
+        [
+            alpha + links[..., 0] - jnp.roll(alpha, -1, axis=-2),
+            alpha + links[..., 1] - jnp.roll(alpha, -1, axis=-1),
+        ],
+        axis=-1,
+    )
+    np.testing.assert_allclose(
+        np.asarray(improved_action(links)),
+        np.asarray(improved_action(transformed)),
+        rtol=1e-5, atol=1e-4,
+    )
+
+
+def test_improved_action_strong_coupling(key):
+    """HMC under the improved action at beta=0.2: <cos P> = c0*beta/2 + O(beta^2).
+
+    At leading strong-coupling order the rectangle term cannot contribute to
+    the plaquette expectation (cos P cos R integrates to zero over any link
+    both loops share), so the improved theory's plaquette is the Wilson
+    result at coupling c0*beta.  Anchors the sign/normalization of the
+    rectangle sums against an analytic value.
+    """
+    from l2hmc_tpu.dynamics.hmc import hmc_chain
+    from l2hmc_tpu.lattice.u1 import make_improved_potential_fn, wrap
+
+    beta, c1 = 0.2, -1.0 / 12.0
+    shape = LatticeShape(6, 6)
+    potential = make_improved_potential_fn(shape, c1)
+    x0 = random_links(key, 64, shape)
+    xs, probs = hmc_chain(
+        potential, x0, beta, jax.random.fold_in(key, 3),
+        eps=0.5, num_leapfrog=5, num_samples=400, wrap_fn=wrap,
+    )
+    assert float(jnp.mean(probs)) > 0.6
+    plaqs = jax.vmap(lambda x: avg_plaquette(to_links(x, shape)))(xs[150:])
+    measured = float(jnp.mean(plaqs))
+    expected = (1.0 - 8.0 * c1) * beta / 2.0
+    assert abs(measured - expected) < 0.012, (measured, expected)

@@ -142,3 +142,16 @@ def test_beta_annealing_schedule():
     assert bT == pytest.approx(4.0)
     # linear in 1/beta: midpoint of 1/2 and 1/4 is 3/8 -> beta=8/3
     assert bmid == pytest.approx(8.0 / 3.0, rel=1e-5)
+
+
+def test_gauge_improved_action_trains(key):
+    """The rectangle-improved action wires through the full L2HMC training
+    path (loss, second-order grads through the leapfrog, Adam)."""
+    cfg = GaugeConfig(time_size=4, space_size=4, num_chains=32, num_steps=2,
+                      network_arch="mlp", num_hidden=32, train_steps=100,
+                      beta_init=1.0, beta_final=1.0, action="improved")
+    state = init_train_state(cfg, key)
+    chunk = make_train_chunk(cfg, 50)
+    state, m = chunk(state, jax.random.fold_in(key, 1))
+    assert np.all(np.isfinite(np.asarray(m["loss"])))
+    assert float(np.asarray(m["accept_prob"])[-10:].mean()) > 0.1
