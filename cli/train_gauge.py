@@ -226,8 +226,19 @@ def main(argv=None):
             summary = stats.observables_stats(
                 {k: v.mean(axis=-1) for k, v in merged.items()}
             )
+            # <Q^2> must square PER-CHAIN charges; squaring the chain
+            # average (what observables_stats sees above) biases it low
+            # by ~1/num_chains.
+            q_full = stats.therm_cut(merged["charges"])
+            summary["charges"]["susceptibility"] = float((q_full ** 2).mean())
+            summary["charges"]["histogram"] = stats.charge_histogram(q_full)
             summary["plaq_exact"] = float(u1.u1_plaq_exact(beta))
             summary["wloop22_exact"] = float(u1.wilson_loop_exact(beta, 4))
+            if args.action == "wilson":
+                summary["q2_exact"] = float(
+                    u1.topological_susceptibility_exact(
+                        beta, cfg.shape.num_plaquettes)
+                )
             out_file = run_dir / f"eval_beta{beta:g}.json"
             if jax.process_index() == 0:
                 out_file.write_text(json.dumps(summary, indent=2, default=str))
@@ -235,9 +246,13 @@ def main(argv=None):
                 np.savez_compressed(
                     run_dir / f"eval_beta{beta:g}.npz", **merged
                 )
+            q2_note = (f" <Q^2>={summary['charges']['susceptibility']:.4f}"
+                       f" (exact {summary['q2_exact']:.4f})"
+                       if "q2_exact" in summary else "")
             log(f"eval beta={beta:g}: plaq={summary['plaqs']['mean']:.5f} "
                 f"(exact {summary['plaq_exact']:.5f}) "
-                f"acc={summary['accept_prob']['mean']:.4f} -> {out_file}")
+                f"acc={summary['accept_prob']['mean']:.4f}{q2_note}"
+                f" -> {out_file}")
 
     logger.close()
     return 0

@@ -250,6 +250,50 @@ def creutz_ratio(w_rt, w_r1t1, w_r1t, w_rt1) -> jax.Array:
     return -jnp.log(w_rt * w_r1t1 / (w_r1t * w_rt1))
 
 
+def topological_susceptibility_exact(
+    beta: float, num_plaq: int, qmax: int | None = None,
+    n_phi: int = 4097, n_k: int = 20001,
+) -> float:
+    """Exact finite-volume ``<Q^2>`` of 2-D U(1) Wilson theory by quadrature.
+
+    On the torus the plaquette angles are iid under ``exp(beta cos phi)``
+    subject to the single global constraint ``sum_p proj(phi_p) = 2 pi Q``
+    (link contributions telescope to zero around the torus), so the charge
+    distribution is the V-fold convolution of the one-plaquette density
+    evaluated on ``2 pi Z``::
+
+        P(Q) ∝ ∫ dk  [c(k)/c(0)]^V  cos(2 pi Q k),
+        c(k) = ∫_{-pi}^{pi} dphi  e^{beta cos phi} cos(k phi).
+
+    This turns BASELINE.json's "<Q^2> within MC error" north star into a
+    test against an *analytic* anchor — the reference only ever eyeballed
+    charge histograms (``gauge_model.py:1473-1533``).  Returns ``<Q^2>``;
+    divide by ``num_plaq`` for the susceptibility density.
+    """
+    phi = np.linspace(-np.pi, np.pi, n_phi)
+    w = np.exp(beta * (np.cos(phi) - 1.0))        # scaled: overflow-safe
+    c0 = np.trapezoid(w, phi)
+    sig2 = np.trapezoid(phi * phi * w, phi) / c0  # single-plaquette <phi^2>
+    v = float(num_plaq)
+    k_max = 10.0 / np.sqrt(sig2 * v) + 2.0
+    k = np.linspace(0.0, k_max, n_k)
+    chat = np.empty_like(k)
+    for lo in range(0, n_k, 2048):                # chunked: O(MB) not O(GB)
+        kk = k[lo:lo + 2048]
+        chat[lo:lo + 2048] = np.trapezoid(
+            w[None, :] * np.cos(np.outer(kk, phi)), phi, axis=1
+        ) / c0
+    pow_v = np.real((chat.astype(np.complex128)) ** num_plaq)
+    if qmax is None:
+        qmax = int(np.ceil(5.0 * np.sqrt(sig2 * v) / (2.0 * np.pi)) + 3)
+    qs = np.arange(-qmax, qmax + 1)
+    probs = np.array(
+        [np.trapezoid(pow_v * np.cos(2.0 * np.pi * q * k), k) for q in qs]
+    )
+    probs = np.maximum(probs, 0.0)
+    return float(np.sum(qs * qs * probs) / np.sum(probs))
+
+
 # ---------------------------------------------------------------------------
 # Rectangle-improved (Symanzik) action
 # ---------------------------------------------------------------------------

@@ -268,3 +268,30 @@ def test_improved_action_strong_coupling(key):
     measured = float(jnp.mean(plaqs))
     expected = (1.0 - 8.0 * c1) * beta / 2.0
     assert abs(measured - expected) < 0.012, (measured, expected)
+
+
+def test_topological_susceptibility_exact_oracle(key):
+    """Long Metropolis run reproduces the exact finite-volume <Q^2>.
+
+    The quadrature oracle (convolution of the one-plaquette density on
+    2 pi Z) is the analytic anchor for BASELINE.json's "<Q^2> within MC
+    error" target; charge tunneling is fast at beta=2 on 4x4, so the MC
+    estimate is tight.
+    """
+    from l2hmc_tpu.lattice.metropolis import metropolis_sweep
+    from l2hmc_tpu.lattice.u1 import topological_susceptibility_exact
+
+    shape = LatticeShape(4, 4)
+    beta = 2.0
+    links = to_links(random_links(key, 64, shape), shape)
+
+    def body(ls, k):
+        out, _ = metropolis_sweep(ls, beta, k, 1.0)
+        return out, topological_charge(out)
+
+    keys = jax.random.split(jax.random.fold_in(key, 11), 2000)
+    _, qs = jax.lax.scan(body, links, keys)
+    q = np.asarray(qs)[400:]
+    measured = float((q * q).mean())
+    exact = topological_susceptibility_exact(beta, shape.num_plaquettes)
+    assert abs(measured - exact) < 0.04, (measured, exact)
