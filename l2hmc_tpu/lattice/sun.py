@@ -48,12 +48,22 @@ GELL_MANN = np.array(
 )
 
 
-def generators(n: int) -> jax.Array:
+def generators_np(n: int) -> np.ndarray:
+    """Generator constants as NUMPY complex (host-side).
+
+    Needed by the real-pair path (:mod:`l2hmc_tpu.ops.cmat`): on the TPU
+    runtime complex device arrays are rejected even as constants, so the
+    (re, im) split must happen before anything reaches the device.
+    """
     if n == 2:
-        return jnp.asarray(PAULI / 2.0)
+        return PAULI / 2.0
     if n == 3:
-        return jnp.asarray(GELL_MANN / 2.0)
+        return GELL_MANN / 2.0
     raise ValueError(f"SU({n}) not supported (N in {{2,3}})")
+
+
+def generators(n: int) -> jax.Array:
+    return jnp.asarray(generators_np(n))
 
 
 def random_sun(key: jax.Array, n: int, shape=(), scale: float = 0.1) -> jax.Array:

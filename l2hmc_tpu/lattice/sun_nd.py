@@ -192,16 +192,18 @@ def _algebra_to_matrix(theta: jax.Array, gens: jax.Array) -> jax.Array:
 
 
 def _left_translate(links: jax.Array, theta: jax.Array, gens: jax.Array) -> jax.Array:
-    return jax.scipy.linalg.expm(1j * _algebra_to_matrix(theta, gens)) @ links
+    # matmul-only exponential: generic expm's LU solve pads every tiny
+    # N x N matrix to TPU tile size (measured 24 GB HBM for a 9 MB SU(3)
+    # 8^4 field) — see ops/su_matrix.py
+    from l2hmc_tpu.ops.su_matrix import expm_ih
+
+    return expm_ih(_algebra_to_matrix(theta, gens)) @ links
 
 
 def _reunitarize(u: jax.Array) -> jax.Array:
-    q, r = jnp.linalg.qr(u)
-    dd = jnp.diagonal(r, axis1=-2, axis2=-1)
-    q = q * (dd / jnp.abs(dd))[..., None, :]
-    det = jnp.linalg.det(q)
-    n = u.shape[-1]
-    return q * (det ** (-1.0 / n))[..., None, None]
+    from l2hmc_tpu.ops.su_matrix import polar_reunitarize
+
+    return polar_reunitarize(u)
 
 
 class SUNndHMCOut(NamedTuple):
@@ -258,6 +260,164 @@ def sun_nd_hmc_transition(
     return SUNndHMCOut(links=jnp.where(acc, u_new, links), accept_prob=prob)
 
 
+# ---------------------------------------------------------------------------
+# Real-pair forms: links as float32 (..., d, 2, N, N).  The TPU runtime in
+# use rejects complex dtypes at execution time (even complex64 add), so the
+# on-device representation is an explicit (re, im) channel pair — see
+# ops/cmat.py.  These mirror the complex forms above one-for-one and are
+# pinned equal by tests.
+# ---------------------------------------------------------------------------
+
+
+def random_links_nd_pairs(
+    key: jax.Array, n: int, batch: int, dims: Sequence[int], scale: float = 0.5
+) -> jax.Array:
+    """Random near-identity pair link field ``(batch, *dims, d, 2, N, N)``.
+
+    Complex-free init (``random_links_nd`` goes through the complex expm,
+    which the TPU runtime rejects)."""
+    from l2hmc_tpu.ops import cmat
+
+    gp = cmat.gens_pair(n)
+    k = gp.shape[0]
+    theta = scale * jax.random.normal(key, (batch, *dims, len(dims), k))
+    return cmat.cexpm(jnp.einsum("...k,kcij->...cij", theta, gp))
+
+
+def plaq_field_nd_pairs(links: jax.Array, mu: int, nu: int) -> jax.Array:
+    """Pair form of :func:`plaq_field_nd`; links ``(..., d, 2, N, N)``."""
+    from l2hmc_tpu.ops import cmat
+
+    d = links.shape[-4]
+    umu = links[..., mu, :, :, :]
+    unu = links[..., nu, :, :, :]
+    return cmat.cmatmul(
+        cmat.cmatmul(umu, _shift(unu, mu, d, 3)),
+        cmat.cmatmul(cmat.cdag(_shift(umu, nu, d, 3)), cmat.cdag(unu)),
+    )
+
+
+def rect_field_nd_pairs(links: jax.Array, mu: int, nu: int) -> jax.Array:
+    """Pair form of :func:`rect_field_nd`."""
+    from l2hmc_tpu.ops import cmat
+
+    d = links.shape[-4]
+    umu = links[..., mu, :, :, :]
+    unu = links[..., nu, :, :, :]
+    umu_nu = _shift(umu, nu, d, 3)
+    left = cmat.cmatmul(
+        cmat.cmatmul(umu, _shift(umu, mu, d, 3)), _shift(unu, mu, d, 3, steps=2)
+    )
+    right = cmat.cmatmul(
+        cmat.cmatmul(cmat.cdag(_shift(umu_nu, mu, d, 3)), cmat.cdag(umu_nu)),
+        cmat.cdag(unu),
+    )
+    return cmat.cmatmul(left, right)
+
+
+def wilson_action_nd_pairs(links: jax.Array, beta) -> jax.Array:
+    """Pair form of :func:`wilson_action_nd`; links ``(B, *dims, d, 2, N, N)``."""
+    from l2hmc_tpu.ops import cmat
+
+    d = links.shape[-4]
+    s = 0.0
+    for mu in range(d):
+        for nu in range(mu + 1, d):
+            s = s + _site_sum(
+                1.0 - cmat.retrace_over_n(plaq_field_nd_pairs(links, mu, nu)), d
+            )
+    return beta * s
+
+
+def improved_action_nd_pairs(links: jax.Array, beta, c1: float = -1.0 / 12.0) -> jax.Array:
+    """Pair form of :func:`improved_action_nd`."""
+    from l2hmc_tpu.ops import cmat
+
+    c0 = 1.0 - 8.0 * c1
+    d = links.shape[-4]
+    s = 0.0
+    for mu in range(d):
+        for nu in range(mu + 1, d):
+            s = s + c0 * _site_sum(
+                1.0 - cmat.retrace_over_n(plaq_field_nd_pairs(links, mu, nu)), d
+            )
+    if c1 != 0.0:
+        for mu in range(d):
+            for nu in range(d):
+                if nu == mu:
+                    continue
+                s = s + c1 * _site_sum(
+                    1.0 - cmat.retrace_over_n(rect_field_nd_pairs(links, mu, nu)), d
+                )
+    return beta * s
+
+
+def avg_plaq_nd_pairs(links: jax.Array) -> jax.Array:
+    """Pair form of :func:`avg_plaq_nd`."""
+    from l2hmc_tpu.ops import cmat
+
+    d = links.shape[-4]
+    acc, cnt = 0.0, 0
+    for mu in range(d):
+        for nu in range(mu + 1, d):
+            a = cmat.retrace_over_n(plaq_field_nd_pairs(links, mu, nu))
+            acc = acc + jnp.mean(a, axis=tuple(range(a.ndim - d, a.ndim)))
+            cnt += 1
+    return acc / cnt
+
+
+def _left_translate_pairs(links: jax.Array, theta: jax.Array, gens_pair: jax.Array) -> jax.Array:
+    from l2hmc_tpu.ops import cmat
+
+    h = jnp.einsum("...k,kcij->...cij", theta, gens_pair)
+    return cmat.cmatmul(cmat.cexpm(h), links)
+
+
+def sun_nd_hmc_transition_pairs(
+    links: jax.Array,
+    key: jax.Array,
+    eps,
+    num_steps: int,
+    action_fn: Callable[[jax.Array], jax.Array],
+) -> SUNndHMCOut:
+    """Pair form of :func:`sun_nd_hmc_transition`; links ``(B, ..., d, 2, N, N)``."""
+    from l2hmc_tpu.ops import cmat
+
+    n = links.shape[-1]
+    gp = cmat.gens_pair(n)
+    k = gp.shape[0]
+    kv, ka = jax.random.split(key)
+    pi = jax.random.normal(kv, links.shape[:-3] + (k,), jnp.float32)
+
+    def kinetic(p):
+        return 0.5 * jnp.sum(p * p, axis=tuple(range(1, p.ndim)))
+
+    def force(u):
+        def s_of_theta(theta):
+            return jnp.sum(action_fn(_left_translate_pairs(u, theta, gp)))
+
+        zero = jnp.zeros(u.shape[:-3] + (k,), jnp.float32)
+        return jax.grad(s_of_theta)(zero)
+
+    h0 = action_fn(links) + kinetic(pi)
+
+    def leapfrog(carry, _):
+        u, p = carry
+        p = p - 0.5 * eps * force(u)
+        u = cmat.polar_reunitarize(_left_translate_pairs(u, eps * p, gp))
+        p = p - 0.5 * eps * force(u)
+        return (u, p), None
+
+    (u_new, pi_new), _ = jax.lax.scan(leapfrog, (links, pi), None, length=num_steps)
+
+    h1 = action_fn(u_new) + kinetic(pi_new)
+    prob = jnp.exp(jnp.minimum(h0 - h1, 0.0))
+    prob = jnp.where(jnp.isfinite(prob), prob, jnp.zeros_like(prob))
+    accept = jax.random.uniform(ka, prob.shape) < prob
+    acc = accept.reshape(accept.shape + (1,) * (links.ndim - 1))
+    return SUNndHMCOut(links=jnp.where(acc, u_new, links), accept_prob=prob)
+
+
 def sun_nd_hmc_chain(
     key: jax.Array,
     n: int,
@@ -268,22 +428,37 @@ def sun_nd_hmc_chain(
     eps: float = 0.1,
     num_steps: int = 5,
     c1: float = 0.0,
+    real_pairs: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Scan-resident d-dimensional SU(N) HMC chain.
 
     Returns ``(plaq_trace (num_samples, batch), accept_probs)``.
-    ``c1 != 0`` samples the rectangle-improved action.
+    ``c1 != 0`` samples the rectangle-improved action.  ``real_pairs=True``
+    runs the float32 (re, im) pair representation — required on TPU
+    runtimes without complex-dtype support, and pinned statistically equal
+    to the complex form by tests.
     """
+    from l2hmc_tpu.ops import cmat
+
     k0, key = jax.random.split(key)
-    links = random_links_nd(k0, n, batch, dims, scale=0.5)
-    if c1 != 0.0:
-        action_fn = lambda u: improved_action_nd(u, beta, c1)
+    if real_pairs:
+        links = random_links_nd_pairs(k0, n, batch, dims, scale=0.5)
+        if c1 != 0.0:
+            action_fn = lambda u: improved_action_nd_pairs(u, beta, c1)
+        else:
+            action_fn = lambda u: wilson_action_nd_pairs(u, beta)
+        transition, avg_plaq = sun_nd_hmc_transition_pairs, avg_plaq_nd_pairs
     else:
-        action_fn = lambda u: wilson_action_nd(u, beta)
+        links = random_links_nd(k0, n, batch, dims, scale=0.5)
+        if c1 != 0.0:
+            action_fn = lambda u: improved_action_nd(u, beta, c1)
+        else:
+            action_fn = lambda u: wilson_action_nd(u, beta)
+        transition, avg_plaq = sun_nd_hmc_transition, avg_plaq_nd
 
     def body(u, kk):
-        out = sun_nd_hmc_transition(u, kk, eps, num_steps, action_fn)
-        return out.links, (avg_plaq_nd(out.links), out.accept_prob)
+        out = transition(u, kk, eps, num_steps, action_fn)
+        return out.links, (avg_plaq(out.links), out.accept_prob)
 
     keys = jax.random.split(key, num_samples)
     _, (plaqs, probs) = jax.lax.scan(body, links, keys)

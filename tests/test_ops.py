@@ -88,3 +88,49 @@ def test_pallas_kernel_interpret_mode(key):
     )(links)
     g_ref = jax.grad(lambda l: jnp.sum(u1.wilson_action(l)))(links)
     np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref), rtol=1e-4, atol=1e-5)
+
+
+class TestSUMatrixOps:
+    """TPU-friendly matmul-only group math vs generic linalg."""
+
+    def test_expm_su2_matches_pade(self):
+        import jax
+        from l2hmc_tpu.lattice.sun import generators
+        from l2hmc_tpu.ops.su_matrix import expm_su2
+
+        key = jax.random.PRNGKey(0)
+        gens = generators(2)
+        a = 0.7 * jax.random.normal(key, (64, 3))
+        h = jnp.einsum("bk,kij->bij", a.astype(jnp.complex64), gens)
+        ref = jax.scipy.linalg.expm(1j * h)
+        np.testing.assert_allclose(
+            np.asarray(expm_su2(h)), np.asarray(ref), atol=2e-6)
+
+    def test_expm_taylor_matches_pade_su3(self):
+        import jax
+        from l2hmc_tpu.lattice.sun import generators
+        from l2hmc_tpu.ops.su_matrix import expm_taylor
+
+        key = jax.random.PRNGKey(1)
+        gens = generators(3)
+        a = 0.5 * jax.random.normal(key, (32, 8))
+        h = jnp.einsum("bk,kij->bij", a.astype(jnp.complex64), gens)
+        ref = jax.scipy.linalg.expm(1j * h)
+        np.testing.assert_allclose(
+            np.asarray(expm_taylor(h)), np.asarray(ref), atol=5e-6)
+
+    def test_polar_reunitarize_projects_to_sun(self):
+        import jax
+        from l2hmc_tpu.lattice.sun import is_unitary, random_sun
+        from l2hmc_tpu.ops.su_matrix import _det_small, polar_reunitarize
+
+        key = jax.random.PRNGKey(2)
+        u = random_sun(key, 3, (16,), scale=0.8)
+        drift = u + 1e-3 * jax.random.normal(
+            jax.random.fold_in(key, 1), u.shape, jnp.float32)
+        fixed = polar_reunitarize(drift)
+        assert bool(is_unitary(fixed, atol=1e-5))
+        det = np.asarray(_det_small(fixed))
+        np.testing.assert_allclose(det, np.ones_like(det), atol=1e-5)
+        # projection moves the drifted matrix back near the original
+        assert float(jnp.max(jnp.abs(fixed - u))) < 5e-3

@@ -86,3 +86,48 @@ def test_4d_su3_improved_hmc_runs(key):
     )
     assert np.isfinite(np.asarray(plaqs)).all()
     assert float(jnp.mean(probs[5:])) > 0.5
+
+
+def test_pair_actions_match_complex(key):
+    """The float32 (re,im)-pair forms equal the complex forms exactly."""
+    from l2hmc_tpu.ops import cmat
+
+    links = sun_nd.random_links_nd(key, 3, batch=2, dims=(3, 3, 3), scale=0.5)
+    pairs = cmat.to_pairs(links)
+    np.testing.assert_allclose(
+        np.asarray(sun_nd.wilson_action_nd_pairs(pairs, 2.0)),
+        np.asarray(sun_nd.wilson_action_nd(links, 2.0)), rtol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(sun_nd.improved_action_nd_pairs(pairs, 2.0, -1 / 12)),
+        np.asarray(sun_nd.improved_action_nd(links, 2.0, -1 / 12)), rtol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(sun_nd.avg_plaq_nd_pairs(pairs)),
+        np.asarray(sun_nd.avg_plaq_nd(links)), rtol=2e-5)
+
+
+def test_pair_group_ops_match_complex(key):
+    from l2hmc_tpu.lattice.sun import generators
+    from l2hmc_tpu.ops import cmat, su_matrix
+
+    for n in (2, 3):
+        gens = generators(n)
+        a = 0.4 * jax.random.normal(jax.random.fold_in(key, n), (32, gens.shape[0]))
+        h = jnp.einsum("bk,kij->bij", a.astype(jnp.complex64), gens)
+        want = su_matrix.expm_ih(h)
+        got = cmat.from_pairs(cmat.cexpm(cmat.to_pairs(h)))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-6)
+        drift = want + 2e-3
+        np.testing.assert_allclose(
+            np.asarray(cmat.from_pairs(cmat.polar_reunitarize(cmat.to_pairs(drift)))),
+            np.asarray(su_matrix.polar_reunitarize(drift)), atol=5e-6)
+
+
+def test_pair_hmc_trajectory_matches_complex(key):
+    """Same PRNG keys => the pair and complex HMC chains follow the same
+    trajectory (representation equivalence, not just same distribution)."""
+    kwargs = dict(n=2, dims=(3, 3, 3), beta=1.0, num_samples=10,
+                  batch=4, eps=0.15, num_steps=3)
+    p_c, a_c = sun_nd.sun_nd_hmc_chain(key, real_pairs=False, **kwargs)
+    p_p, a_p = sun_nd.sun_nd_hmc_chain(key, real_pairs=True, **kwargs)
+    np.testing.assert_allclose(np.asarray(p_p), np.asarray(p_c), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_c), atol=2e-4)
