@@ -113,15 +113,29 @@ def main(argv=None):
     n, beta = args.n, args.beta
     exact = sun_plaq_exact(n, beta)
     key, k0 = jax.random.split(key)
-    u = random_sun(k0, n, (args.num_samples, args.time_size, args.space_size, 2),
-                   scale=0.5)
+    # complex dtypes are rejected by the TPU runtime -> (re, im) pair
+    # representation off-CPU (ops/cmat.py; trajectory-identical, tested)
+    real_pairs = jax.default_backend() != "cpu"
+    if real_pairs:
+        from l2hmc_tpu.lattice.sun_nd import (
+            avg_plaq_nd_pairs as avg_plaq, random_links_nd_pairs,
+        )
 
-    def avg_plaq(links):
-        tr = jnp.trace(sun_plaquette(links), axis1=-2, axis2=-1).real / n
-        return jnp.mean(tr, axis=(-2, -1))
+        u = random_links_nd_pairs(
+            k0, n, args.num_samples, (args.time_size, args.space_size),
+            scale=0.5)
+    else:
+        u = random_sun(
+            k0, n, (args.num_samples, args.time_size, args.space_size, 2),
+            scale=0.5)
+
+        def avg_plaq(links):
+            tr = jnp.trace(sun_plaquette(links), axis1=-2, axis2=-1).real / n
+            return jnp.mean(tr, axis=(-2, -1))
 
     cfg = SUNL2HMCConfig(n=n, num_steps=args.num_steps, eps_init=args.eps,
-                         hidden=args.num_hidden, eps_trainable=not args.hmc)
+                         hidden=args.num_hidden, eps_trainable=not args.hmc,
+                         real_pairs=real_pairs)
     opt = optax.chain(
         optax.clip_by_global_norm(1.0),
         optax.adam(optax.warmup_exponential_decay_schedule(
@@ -163,7 +177,17 @@ def main(argv=None):
     @jax.jit
     def eval_chunk(params, u, k):
         def body(u, kk):
-            if args.hmc:
+            if args.hmc and real_pairs:
+                from l2hmc_tpu.lattice.sun_nd import (
+                    sun_nd_hmc_transition_pairs, wilson_action_nd_pairs,
+                )
+
+                out = sun_nd_hmc_transition_pairs(
+                    u, kk, args.eps, args.num_steps,
+                    lambda v: wilson_action_nd_pairs(v, beta))
+                links, prob = out.links, out.accept_prob
+                dist = plaq_trace_distance(u, links)
+            elif args.hmc:
                 out = sun_hmc_transition(u, beta, kk, args.eps,
                                          args.num_steps, n)
                 links, prob = out.links, out.accept_prob

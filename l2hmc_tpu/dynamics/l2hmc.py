@@ -211,14 +211,17 @@ def make_dynamics(
             feats = jnp.concatenate([mask, mask], axis=-1) * feats
         return feats
 
-    def update_v(params, x, v, beta, tau, d_col, d_row, eps, aux):
+    def update_v(params, x, v, g, beta, tau, d_col, d_row, eps, aux):
         """Direction-fused momentum half-step.
 
         ``d_col (batch,1)`` / ``d_row (batch,)`` in {+1,-1}.  Shares the
         gradient + VNet evaluation across directions; elementwise combines
-        are where-selected.
+        are where-selected.  ``g = grad_potential(x, beta)`` is passed in:
+        the caller caches it across leapfrog steps (the last half-step of
+        step i and the first of step i+1 evaluate it at the same x), which
+        cuts potential-gradient evaluations from 2K+... to K+1 per
+        trajectory.
         """
-        g = grad_potential(x, beta)
         s, t, q = vnet_apply_(params.vnet, pos_features(x), g, tau, aux)
         half_s = 0.5 * eps * s
         a = 0.5 * eps * (jnp.exp(eps * q) * g - t)
@@ -279,12 +282,14 @@ def make_dynamics(
             logdet = jnp.sum((1.0 - hold_mask) * ld_elem, axis=-1)
         return x_new, logdet
 
-    def leapfrog_step(params, x, v, beta, step, d_row, eps, aux):
+    def leapfrog_step(params, x, v, g, beta, step, d_row, eps, aux):
         """One augmented leapfrog step with per-chain direction ``d_row``.
 
         ``step`` is the scan index; each chain reads masks/time at
         ``i = step`` (forward) or ``i = K-1-step`` (backward) —
-        reference ``gauge_dynamics.py:412-483``.
+        reference ``gauge_dynamics.py:412-483``.  ``g`` is the cached
+        potential gradient at ``x``; the fresh gradient at the updated
+        position is returned for the next step.
         """
         d_col = d_row[:, None]
         idx = jnp.where(d_row > 0, step, cfg.num_steps - 1 - step).astype(jnp.int32)
@@ -297,15 +302,16 @@ def make_dynamics(
         hold2 = 1.0 - hold1
 
         sumlogdet = jnp.zeros(x.shape[0], x.dtype)
-        v, ld = update_v(params, x, v, beta, tau, d_col, d_row, eps, aux)
+        v, ld = update_v(params, x, v, g, beta, tau, d_col, d_row, eps, aux)
         sumlogdet += ld
         x, ld = update_x(params, x, v, tau, hold1, d_col, d_row, eps, aux)
         sumlogdet += ld
         x, ld = update_x(params, x, v, tau, hold2, d_col, d_row, eps, aux)
         sumlogdet += ld
-        v, ld = update_v(params, x, v, beta, tau, d_col, d_row, eps, aux)
+        g = grad_potential(x, beta)
+        v, ld = update_v(params, x, v, g, beta, tau, d_col, d_row, eps, aux)
         sumlogdet += ld
-        return x, v, sumlogdet
+        return x, v, g, sumlogdet
 
     step_fn = jax.checkpoint(leapfrog_step, static_argnums=()) if cfg.remat else leapfrog_step
 
@@ -314,12 +320,13 @@ def make_dynamics(
         eps = get_eps(params, cfg)
 
         def body(carry, step):
-            x, v, logdet = carry
-            x, v, ld = step_fn(params, x, v, beta, step, direction, eps, aux)
-            return (x, v, logdet + ld), None
+            x, v, g, logdet = carry
+            x, v, g, ld = step_fn(params, x, v, g, beta, step, direction, eps, aux)
+            return (x, v, g, logdet + ld), None
 
-        init = (x, v, jnp.zeros(x.shape[0], x.dtype))
-        (x, v, sumlogdet), _ = jax.lax.scan(
+        init = (x, v, grad_potential(x, beta),
+                jnp.zeros(x.shape[0], x.dtype))
+        (x, v, _, sumlogdet), _ = jax.lax.scan(
             body, init, jnp.arange(cfg.num_steps)
         )
         return x, v, sumlogdet

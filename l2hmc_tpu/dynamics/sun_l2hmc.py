@@ -65,6 +65,10 @@ class SUNL2HMCConfig(NamedTuple):
     eps_cap: float = 0.5       # acceptance-cliff guard (RESULTS.md)
     hidden: int = 32
     eps_trainable: bool = True
+    # float32 (re, im) pair representation (ops/cmat.py) — required on the
+    # TPU runtime, which rejects complex dtypes; links are then
+    # (B, Lt, Lx, 2, 2, N, N) with the pair axis after the direction axis.
+    real_pairs: bool = False
 
 
 def _n_feats(n: int) -> int:
@@ -90,30 +94,71 @@ def init_sun_l2hmc(key: jax.Array, cfg: SUNL2HMCConfig) -> SUNL2HMCParams:
     )
 
 
-def _plaq_feats(links: jax.Array, n: int) -> jax.Array:
-    """Per-link gauge-invariant features: (Re, Im) traces / N of the two
-    plaquettes each link borders.  ``(B, Lt, Lx, 2, 4)``."""
-    p = sun_plaquette(links)
-    tr = jnp.trace(p, axis1=-2, axis2=-1) / n       # (B, Lt, Lx) complex
-    # link (t,x,0) borders P(t,x) and P(t,x-1); link (t,x,1): P(t,x), P(t-1,x)
+def _plaq_feats_from_tr(tr_re: jax.Array, tr_im: jax.Array) -> jax.Array:
+    """Per-link gauge-invariant features from plaquette traces/N:
+    (Re, Im) of the two plaquettes each link borders.  ``(B, Lt, Lx, 2, 4)``.
+
+    link (t,x,0) borders P(t,x) and P(t,x-1); link (t,x,1): P(t,x), P(t-1,x).
+    """
     f0 = jnp.stack(
-        [tr.real, tr.imag,
-         jnp.roll(tr.real, 1, axis=-1), jnp.roll(tr.imag, 1, axis=-1)],
+        [tr_re, tr_im,
+         jnp.roll(tr_re, 1, axis=-1), jnp.roll(tr_im, 1, axis=-1)],
         axis=-1,
     )
     f1 = jnp.stack(
-        [tr.real, tr.imag,
-         jnp.roll(tr.real, 1, axis=-2), jnp.roll(tr.imag, 1, axis=-2)],
+        [tr_re, tr_im,
+         jnp.roll(tr_re, 1, axis=-2), jnp.roll(tr_im, 1, axis=-2)],
         axis=-1,
     )
     return jnp.stack([f0, f1], axis=-2)              # (B, Lt, Lx, 2, 4)
 
 
-def make_sun_dynamics(cfg: SUNL2HMCConfig, beta):
-    """Build the transition for SU(N) links ``(B, Lt, Lx, 2, N, N)``."""
+def _make_rep(cfg: SUNL2HMCConfig):
+    """Representation bundle: complex-dtype (CPU) or float32 (re, im)
+    pairs (ops/cmat.py — the TPU runtime rejects complex dtypes)."""
     n = cfg.n
+    if cfg.real_pairs:
+        from l2hmc_tpu.lattice import sun_nd
+        from l2hmc_tpu.ops import cmat
+
+        gp = cmat.gens_pair(n)
+
+        def plaq_tr(u):
+            p = sun_nd.plaq_field_nd_pairs(u, 0, 1)
+            re = jnp.trace(p[..., 0, :, :], axis1=-2, axis2=-1) / n
+            im = jnp.trace(p[..., 1, :, :], axis1=-2, axis2=-1) / n
+            return re, im
+
+        return dict(
+            mat_tail=3,  # trailing (2, N, N)
+            action=lambda u, beta: sun_nd.wilson_action_nd_pairs(u, beta),
+            plaq_tr=plaq_tr,
+            left_translate=lambda u, th: sun_nd._left_translate_pairs(u, th, gp),
+            reunit=cmat.polar_reunitarize,
+        )
+
     gens = generators(n)
-    k = gens.shape[0]
+
+    def plaq_tr(u):
+        tr = jnp.trace(sun_plaquette(u), axis1=-2, axis2=-1) / n
+        return tr.real, tr.imag
+
+    return dict(
+        mat_tail=2,  # trailing (N, N)
+        action=lambda u, beta: sun_action(u, beta),
+        plaq_tr=plaq_tr,
+        left_translate=lambda u, th: _left_translate(u, th, gens),
+        reunit=_reunitarize,
+    )
+
+
+def make_sun_dynamics(cfg: SUNL2HMCConfig, beta):
+    """Build the transition for SU(N) links ``(B, Lt, Lx, 2, N, N)``
+    (complex) or ``(B, Lt, Lx, 2, 2, N, N)`` (``real_pairs=True``)."""
+    n = cfg.n
+    k = n * n - 1
+    rep = _make_rep(cfg)
+    mt = rep["mat_tail"]
 
     def get_eps(params):
         eps = params.raw_eps
@@ -123,20 +168,21 @@ def make_sun_dynamics(cfg: SUNL2HMCConfig, beta):
 
     def force(u):
         def s_of_theta(theta):
-            return jnp.sum(sun_action(_left_translate(u, theta, gens), beta))
+            return jnp.sum(rep["action"](rep["left_translate"](u, theta), beta))
 
-        zero = jnp.zeros(u.shape[:-2] + (k,), jnp.float32)
+        zero = jnp.zeros(u.shape[:-mt] + (k,), jnp.float32)
         return jax.grad(s_of_theta)(zero)
 
     def kinetic(p):
         return 0.5 * jnp.sum(p * p, axis=(-4, -3, -2, -1))
 
     def net_stq(net: SUNNetParams, u, f_force, tau):
+        re, im = rep["plaq_tr"](u)
         feats = jnp.concatenate(
             [
                 f_force,
-                _plaq_feats(u, n),
-                jnp.broadcast_to(tau, u.shape[:-2] + (2,)),
+                _plaq_feats_from_tr(re, im),
+                jnp.broadcast_to(tau, u.shape[:-mt] + (2,)),
             ],
             axis=-1,
         )
@@ -166,9 +212,7 @@ def make_sun_dynamics(cfg: SUNL2HMCConfig, beta):
         sumlogdet = jnp.zeros(u.shape[0], jnp.float32)
         p, ld = update_p(params, u, p, tau, d_col, d_row, eps)
         sumlogdet += ld
-        u = _reunitarize(
-            _left_translate(u, (d_col * eps) * p, gens)
-        )
+        u = rep["reunit"](rep["left_translate"](u, (d_col * eps) * p))
         p, ld = update_p(params, u, p, tau, d_col, d_row, eps)
         sumlogdet += ld
         return u, p, sumlogdet
@@ -176,7 +220,7 @@ def make_sun_dynamics(cfg: SUNL2HMCConfig, beta):
     def transition(params: SUNL2HMCParams, u, key):
         eps = get_eps(params)
         kv, kd, ka = jax.random.split(key, 3)
-        p0 = jax.random.normal(kv, u.shape[:-2] + (k,), jnp.float32)
+        p0 = jax.random.normal(kv, u.shape[:-mt] + (k,), jnp.float32)
         d_row = jnp.where(
             jax.random.bernoulli(kd, 0.5, (u.shape[0],)), 1.0, -1.0
         )
@@ -190,12 +234,13 @@ def make_sun_dynamics(cfg: SUNL2HMCConfig, beta):
             body, (u, p0, jnp.zeros(u.shape[0], jnp.float32)),
             jnp.arange(cfg.num_steps),
         )
-        h0 = sun_action(u, beta) + kinetic(p0)
-        h1 = sun_action(u1, beta) + kinetic(p1)
+        h0 = rep["action"](u, beta) + kinetic(p0)
+        h1 = rep["action"](u1, beta) + kinetic(p1)
         prob = jnp.exp(jnp.minimum(h0 - h1 + sumlogdet, 0.0))
         prob = jnp.where(jnp.isfinite(prob), prob, jnp.zeros_like(prob))
         accept = jax.random.uniform(ka, prob.shape) < prob
-        out = jnp.where(accept[:, None, None, None, None, None], u1, u)
+        acc = accept.reshape(accept.shape + (1,) * (u.ndim - 1))
+        out = jnp.where(acc, u1, u)
         return {
             "x_out": out, "x_proposed": u1, "accept_prob": prob,
             "accept_mask": accept, "sumlogdet": sumlogdet,
@@ -223,11 +268,25 @@ def make_sun_dynamics(cfg: SUNL2HMCConfig, beta):
 
 def plaq_trace_distance(u_a: jax.Array, u_b: jax.Array) -> jax.Array:
     """Gauge-invariant squared jump ``mean_plaq |tr P_a - tr P_b|^2 / N^2``
-    per sample — the metric for the ESJD loss on the group."""
+    per sample — the metric for the ESJD loss on the group.
+
+    Accepts complex links or float (re, im) pairs (detected by dtype)."""
     n = u_a.shape[-1]
-    ta = jnp.trace(sun_plaquette(u_a), axis1=-2, axis2=-1)
-    tb = jnp.trace(sun_plaquette(u_b), axis1=-2, axis2=-1)
-    return jnp.mean(jnp.abs(ta - tb) ** 2, axis=(-2, -1)) / (n * n)
+    if jnp.iscomplexobj(u_a):
+        ta = jnp.trace(sun_plaquette(u_a), axis1=-2, axis2=-1)
+        tb = jnp.trace(sun_plaquette(u_b), axis1=-2, axis2=-1)
+        d2 = jnp.abs(ta - tb) ** 2
+    else:
+        from l2hmc_tpu.lattice import sun_nd
+
+        pa = sun_nd.plaq_field_nd_pairs(u_a, 0, 1)
+        pb = sun_nd.plaq_field_nd_pairs(u_b, 0, 1)
+        dre = jnp.trace(pa[..., 0, :, :] - pb[..., 0, :, :],
+                        axis1=-2, axis2=-1)
+        dim = jnp.trace(pa[..., 1, :, :] - pb[..., 1, :, :],
+                        axis1=-2, axis2=-1)
+        d2 = dre * dre + dim * dim
+    return jnp.mean(d2, axis=(-2, -1)) / (n * n)
 
 
 def make_sun_train_step(cfg: SUNL2HMCConfig, beta, optimizer, loss_scale=0.1):

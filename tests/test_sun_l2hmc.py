@@ -113,3 +113,46 @@ def test_training_beats_hmc_mixing(key):
     assert esjd > 0.15, f"trained ESJD {esjd}"
     assert acc > 0.7, f"acceptance {acc}"
     assert abs(plaq - sun_plaq_exact(2, beta)) < 0.025, plaq
+
+
+def test_pair_representation_matches_complex(key):
+    """real_pairs=True follows the same trajectory as the complex kernel
+    under the same keys (the TPU runtime rejects complex dtypes; the pair
+    form must be the same sampler, not just similar)."""
+    from l2hmc_tpu.ops import cmat
+
+    cfg_c = SUNL2HMCConfig(n=2, num_steps=2, eps_init=0.12, hidden=8)
+    cfg_p = cfg_c._replace(real_pairs=True)
+    params = init_sun_l2hmc(key, cfg_c)
+    dyn_c = make_sun_dynamics(cfg_c, 2.0)
+    dyn_p = make_sun_dynamics(cfg_p, 2.0)
+    u = random_sun(jax.random.fold_in(key, 1), 2, (4, 4, 4, 2), scale=0.5)
+    up = cmat.to_pairs(u)
+    kk = jax.random.fold_in(key, 2)
+    out_c = dyn_c["transition"](params, u, kk)
+    out_p = dyn_p["transition"](params, up, kk)
+    np.testing.assert_allclose(
+        np.asarray(out_p["accept_prob"]), np.asarray(out_c["accept_prob"]),
+        atol=3e-4)
+    np.testing.assert_allclose(
+        np.asarray(cmat.from_pairs(out_p["x_out"])), np.asarray(out_c["x_out"]),
+        atol=3e-4)
+
+
+def test_pair_training_step_runs(key):
+    """One ESJD train step in pair mode: finite loss, kernel stays on the
+    group."""
+    from l2hmc_tpu.lattice import sun_nd
+    from l2hmc_tpu.lattice.sun import is_unitary
+    from l2hmc_tpu.ops import cmat
+
+    cfg = SUNL2HMCConfig(n=3, num_steps=2, eps_init=0.1, hidden=8,
+                         real_pairs=True)
+    params = init_sun_l2hmc(key, cfg)
+    opt = optax.adam(1e-3)
+    train_step, dyn = make_sun_train_step(cfg, 2.0, opt)
+    u = sun_nd.random_links_nd_pairs(key, 3, 4, (4, 4), scale=0.5)
+    opt_state = opt.init(params)
+    params, opt_state, u, m = train_step(params, opt_state, u, key)
+    assert np.isfinite(float(m["loss"]))
+    assert bool(is_unitary(cmat.from_pairs(u), atol=1e-4))
