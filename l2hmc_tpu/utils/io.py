@@ -45,6 +45,19 @@ def make_run_dir(base: str | Path, prefix: str = "run") -> Path:
     return run_dir
 
 
+def latest_run_dir(base: str | Path, prefix: str = "run") -> Path:
+    """Highest-numbered existing run dir under ``base``."""
+    base = Path(base)
+    existing = [
+        (int(p.name.split("_")[-1]), p)
+        for p in base.glob(f"{prefix}_*")
+        if p.name.split("_")[-1].isdigit()
+    ]
+    if not existing:
+        raise FileNotFoundError(f"no {prefix}_* dirs under {base}")
+    return max(existing)[1]
+
+
 def save_params_json(run_dir: str | Path, params: dict):
     """Persist the run configuration (reference pickles ``params.pkl``,
     ``utils/file_io.py:65-72``; JSON here for greppability)."""

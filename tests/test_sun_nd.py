@@ -131,3 +131,28 @@ def test_pair_hmc_trajectory_matches_complex(key):
     p_p, a_p = sun_nd.sun_nd_hmc_chain(key, real_pairs=True, **kwargs)
     np.testing.assert_allclose(np.asarray(p_p), np.asarray(p_c), atol=2e-4)
     np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_c), atol=2e-4)
+
+
+def test_pair_hmc_shards_over_chain_axis():
+    """4-D SU(N) chains shard over the mesh data axis (embarrassingly
+    parallel batch; XLA partitions the whole transition, no collectives on
+    the hot path)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devices = np.array(jax.devices()[:8])
+    mesh = Mesh(devices, ("data",))
+    key = jax.random.PRNGKey(0)
+    links = sun_nd.random_links_nd_pairs(key, 2, 16, (3, 3, 3), scale=0.5)
+    sharded = jax.device_put(
+        links, NamedSharding(mesh, P("data", None, None, None, None, None, None)))
+    action = lambda u: sun_nd.wilson_action_nd_pairs(u, 1.0)
+
+    f = jax.jit(lambda u, k: sun_nd.sun_nd_hmc_transition_pairs(
+        u, k, 0.15, 2, action))
+    out_sharded = f(sharded, key)
+    out_single = f(links, key)
+    np.testing.assert_allclose(
+        np.asarray(out_sharded.accept_prob),
+        np.asarray(out_single.accept_prob), atol=1e-4)
+    # result keeps the batch sharding
+    assert len(out_sharded.links.sharding.device_set) == 8
