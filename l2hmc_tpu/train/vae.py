@@ -172,6 +172,8 @@ def build_vae(cfg: VAEConfig):
         "posterior_energy": make_posterior_energy,
         "sample_posterior": sample_posterior,
         "dyn_cfg": dyn_cfg,
+        "xnet_apply": xnet_apply,
+        "vnet_apply": vnet_apply,
     }
     return init, fns
 
@@ -276,3 +278,47 @@ def ais_log_likelihood(
     # log p(x_i) (no mean over chains; Z ratio absorbs the prior normalizer
     # which cancels the Gaussian-measure factor of the BCE likelihood).
     return logw
+
+
+def posterior_sampler_autocovariance(
+    cfg: VAEConfig, fns, params: VAEParams, x_batch, key,
+    num_transitions: int = 200,
+):
+    """Mixing diagnostics of the trained posterior sampler.
+
+    Parity with ``vae/eval_sampler.py`` (autocovariance evaluation of the
+    trained L2HMC sampler): runs a scan-resident chain of transitions on a
+    fixed data batch and returns per-coordinate autocorrelation, ESS, and
+    acceptance.
+    """
+    import numpy as np
+
+    from l2hmc_tpu.analysis import stats
+    from l2hmc_tpu.dynamics.l2hmc import make_dynamics
+
+    energy = fns["posterior_energy"](params.decoder, x_batch)
+    dyn = make_dynamics(fns["dyn_cfg"], energy,
+                        fns["xnet_apply"], fns["vnet_apply"])
+
+    k0, key = jax.random.split(key)
+    mu, logvar = fns["encoder"](params.encoder, x_batch)
+    z0 = mu + jnp.exp(0.5 * logvar) * jax.random.normal(k0, mu.shape)
+
+    def body(z, k):
+        out = dyn["transition"](params.dynamics, z, 1.0, k, aux=x_batch)
+        return out.x_out, (out.x_out, out.accept_prob)
+
+    keys = jax.random.split(key, num_transitions)
+    _, (zs, probs) = jax.lax.scan(body, z0, keys)
+    zs = np.asarray(zs)                       # (T, batch, latent_dim)
+    acf = stats.autocorr_fft(zs[:, 0, 0])
+    ess = float(np.mean([
+        stats.calc_ess(zs[:, b, d])
+        for b in range(min(4, zs.shape[1]))
+        for d in range(min(4, zs.shape[2]))
+    ]))
+    return {
+        "autocorrelation": acf,
+        "ess_per_step": ess,
+        "accept_prob": float(np.asarray(probs).mean()),
+    }

@@ -70,3 +70,24 @@ def test_ais_log_likelihood_finite(key):
     assert np.isfinite(np.asarray(logp)).all()
     # untrained decoder: log p(x) should be worse than -D log 2 baseline-ish
     assert np.asarray(logp).mean() < 0.0
+
+
+def test_posterior_sampler_autocovariance(key):
+    """eval_sampler.py parity: mixing diagnostics of the trained posterior
+    sampler are finite and acceptance is healthy."""
+    from l2hmc_tpu.train.vae import (
+        VAEConfig, build_vae, posterior_sampler_autocovariance,
+    )
+
+    cfg = VAEConfig(data_dim=64, latent_dim=4, enc_hidden=32, dec_hidden=32,
+                    sampler_hidden=16, num_steps=3)
+    init, fns = build_vae(cfg)
+    params = init(key)
+    x = (jax.random.uniform(jax.random.fold_in(key, 1), (16, 64)) > 0.5
+         ).astype(jnp.float32)
+    out = posterior_sampler_autocovariance(cfg, fns, params, x,
+                                           jax.random.fold_in(key, 2),
+                                           num_transitions=60)
+    assert np.isfinite(out["ess_per_step"])
+    assert 0.0 < out["accept_prob"] <= 1.0
+    assert np.isfinite(np.asarray(out["autocorrelation"])).all()
