@@ -132,3 +132,23 @@ def test_run_dir_numbering(tmp_path):
     d1 = make_run_dir(tmp_path)
     d2 = make_run_dir(tmp_path)
     assert d1.name == "run_1" and d2.name == "run_2"
+
+
+def test_vae_cli_smoke(tmp_path):
+    """End-to-end run of the third reference workload's CLI
+    (``vae/mnist_vae.py`` analog) at toy sizes: train -> AIS log-lik eval
+    -> sampler autocovariance eval -> summary.json."""
+    sys.path.insert(0, str(Path(__file__).parent.parent / "cli"))
+    import train_vae
+
+    rc = train_vae.main([
+        "--epoch", "1", "--batch_size", "64", "--enc_hidden", "32",
+        "--dec_hidden", "32", "--sampler_hidden", "16", "--leapfrogs", "2",
+        "--MH", "1", "--ais_betas", "10", "--ais_samples", "32",
+        "--eval_transitions", "10", "--logging_steps", "5",
+        "--log_dir", str(tmp_path),
+    ])
+    assert rc == 0
+    summary = json.loads((tmp_path / "run_1" / "summary.json").read_text())
+    assert np.isfinite(summary["ais_log_likelihood_mean"])
+    assert 0.0 <= summary["sampler_accept_prob"] <= 1.0
