@@ -99,13 +99,15 @@ def main():
     fused128, acc, dt, _ = bench_transition(cfg, False, repeats=5, key=key)
     _trace(f"fused@128: {fused128:,.0f} lf-steps/s ({dt*1e3/CHUNK:.3f} ms/transition)")
     # throughput-optimal batch: chains are embarrassingly parallel, so the
-    # per-chip headline is measured at a batch that fills the chip
-    big = _dc0.replace(cfg, num_chains=1024)
+    # per-chip headline is measured at the batch that fills the chip
+    # (swept {1024, 2048, 4096, 8192}: 2048 is optimal — weight reads
+    # amortize up to 2048, VMEM/scheduling pressure regresses beyond)
+    big = _dc0.replace(cfg, num_chains=2048)
     fused_rate, _, dt_big, cost = bench_transition(big, False, repeats=4,
                                                    key=key, want_cost=True)
-    _trace(f"fused@1024: {fused_rate:,.0f} lf-steps/s")
+    _trace(f"fused@2048: {fused_rate:,.0f} lf-steps/s")
     ref_rate, _, dt_ref, _ = bench_transition(big, True, repeats=2, key=key)
-    _trace(f"reference-dataflow@1024: {ref_rate:,.0f} lf-steps/s")
+    _trace(f"reference-dataflow@2048: {ref_rate:,.0f} lf-steps/s")
 
     # roofline for the log-prob+leapfrog transition (BASELINE.md deliverable):
     # XLA cost model vs v5e peaks (f32 MXU ~49 TFLOP/s, HBM ~819 GB/s)
@@ -173,9 +175,9 @@ def main():
         "value": round(fused_rate, 1),
         "unit": "chain-leapfrog-steps/s",
         "vs_baseline": round(fused_rate / ref_rate, 3),
-        "config": "U(1) 16x16, 1024 chains, 3 leapfrog steps, periodic CNN, beta=4",
+        "config": "U(1) 16x16, 2048 chains, 3 leapfrog steps, periodic CNN, beta=4",
         "baseline_def": "reference dataflow (compute both directions + mask) on same chip",
-        "ms_per_transition_1024": round(dt_big * 1e3 / CHUNK, 4),
+        "ms_per_transition_2048": round(dt_big * 1e3 / CHUNK, 4),
         "lf_steps_per_s_128chains": round(fused128, 1),
         "ms_per_transition_128": round(dt * 1e3 / CHUNK, 4),
         "accept_prob_untrained": round(acc, 4),

@@ -216,37 +216,6 @@ def _conv_init(key, kh: int, kw: int, cin: int, cout: int) -> Params:
     return {"w": w, "b": jnp.zeros((cout,), jnp.float32)}
 
 
-@dataclasses.dataclass(frozen=True)
-class ConvNetSpec:
-    """Static spec for the periodic-CNN S/T/Q network.
-
-    Redesign of ConvNet3D (``conv_net.py:57-310``): the reference's
-    (conv3d -> maxpool3d) x2 stacks become (periodic conv2d -> relu) x2 with
-    stride-2 reduction fused into the second conv, and the x- and v-stacks
-    run as ONE grouped convolution per layer (feature_group_count=2) — the
-    MXU sees a single large conv instead of two small ones.
-    """
-
-    time_size: int
-    space_size: int
-    num_filters: int = 8
-    filter_size1: int = 3
-    filter_size2: int = 2
-    num_hidden: int = 256
-    factor: float = 1.0
-    use_bf16: bool = False
-    bounded_q: bool = False  # tanh on the transformation head (stability)
-    use_lrn: bool = False    # ConvNet2D parity: local response normalization
-    # image channels per input (2 link directions; 4 when the position is
-    # fed as periodic cos/sin features)
-    v_channels: int = 2
-    x_channels: int = 2
-
-    @property
-    def x_dim(self) -> int:
-        return self.time_size * self.space_size * 2
-
-
 def _conv2d_periodic(p: Params, x: jax.Array, compute_dtype=None, stride: int = 1) -> jax.Array:
     """kxk conv, periodic padding, NHWC, f32 accumulation."""
     k = p["w"].shape[0]
