@@ -37,12 +37,13 @@ CHUNK = 100  # transitions per device program
 
 
 def bench_transition(cfg, both_directions: bool, repeats: int, key,
-                     want_cost: bool = False):
+                     want_cost: bool = False, merge_v_halves: bool = False):
     from l2hmc_tpu.train import gauge as G
     from l2hmc_tpu.lattice import u1
     import dataclasses
 
-    cfg = dataclasses.replace(cfg, both_directions=both_directions)
+    cfg = dataclasses.replace(cfg, both_directions=both_directions,
+                              merge_v_halves=merge_v_halves)
     _trace(f"init state (both={both_directions})...")
     state = G.init_train_state(cfg, key)
     _, dyn, _ = G.build_dynamics(cfg)
@@ -96,16 +97,23 @@ def main():
     import dataclasses as _dc0
 
     # canonical batch (reference config: 128 chains) — latency-floor regime
-    fused128, acc, dt, _ = bench_transition(cfg, False, repeats=5, key=key)
-    _trace(f"fused@128: {fused128:,.0f} lf-steps/s ({dt*1e3/CHUNK:.3f} ms/transition)")
+    fused128, acc, dt, _ = bench_transition(cfg, False, repeats=5, key=key,
+                                            merge_v_halves=True)
+    _trace(f"merged@128: {fused128:,.0f} lf-steps/s ({dt*1e3/CHUNK:.3f} ms/transition)")
     # throughput-optimal batch: chains are embarrassingly parallel, so the
     # per-chip headline is measured at the batch that fills the chip
     # (swept {1024, 2048, 4096, 8192}: 2048 is optimal — weight reads
     # amortize up to 2048, VMEM/scheduling pressure regresses beyond)
     big = _dc0.replace(cfg, num_chains=2048)
-    fused_rate, _, dt_big, cost = bench_transition(big, False, repeats=4,
-                                                   key=key, want_cost=True)
-    _trace(f"fused@2048: {fused_rate:,.0f} lf-steps/s")
+    # headline kernel: fused direction + merged momentum half-kicks (K+1
+    # VNet calls instead of 2K; exact MH kernel, physics-validated — the
+    # 8x8 merged training run hits the plaquette oracle to 1.5e-4)
+    fused_rate, _, dt_big, cost = bench_transition(
+        big, False, repeats=4, key=key, want_cost=True, merge_v_halves=True)
+    _trace(f"merged@2048: {fused_rate:,.0f} lf-steps/s")
+    # reference-parity kernel (same learned family as the reference)
+    parity_rate, _, dt_parity, _ = bench_transition(big, False, repeats=3, key=key)
+    _trace(f"parity-fused@2048: {parity_rate:,.0f} lf-steps/s")
     ref_rate, _, dt_ref, _ = bench_transition(big, True, repeats=2, key=key)
     _trace(f"reference-dataflow@2048: {ref_rate:,.0f} lf-steps/s")
 
@@ -175,9 +183,12 @@ def main():
         "value": round(fused_rate, 1),
         "unit": "chain-leapfrog-steps/s",
         "vs_baseline": round(fused_rate / ref_rate, 3),
-        "config": "U(1) 16x16, 2048 chains, 3 leapfrog steps, periodic CNN, beta=4",
+        "config": "U(1) 16x16, 2048 chains, 3 leapfrog steps, periodic CNN, "
+                  "beta=4, fused-direction + merged-V kernel",
         "baseline_def": "reference dataflow (compute both directions + mask) on same chip",
         "ms_per_transition_2048": round(dt_big * 1e3 / CHUNK, 4),
+        "lf_steps_per_s_parity_kernel": round(parity_rate, 1),
+        "vs_baseline_parity_kernel": round(parity_rate / ref_rate, 3),
         "lf_steps_per_s_128chains": round(fused128, 1),
         "ms_per_transition_128": round(dt * 1e3 / CHUNK, 4),
         "accept_prob_untrained": round(acc, 4),

@@ -91,6 +91,17 @@ class DynamicsConfig:
     # reproducibly at 32x32).  A cap at the known-stable scale removes the
     # runaway without affecting eps decreases.
     eps_cap: float = 0.0
+    # Merge the adjacent momentum half-steps of consecutive leapfrog steps
+    # (the end-of-step-i and start-of-step-(i+1) V updates act on the same x
+    # with the same cached gradient, differing only in the time encoding)
+    # into ONE full-step update at the boundary time i+1/2: VNet calls drop
+    # from 2K to K+1 per trajectory.  Still an exact invertible kernel with
+    # exact log-Jacobian and MH accept; in HMC mode (zero nets) it is
+    # *identical* to the unmerged integrator (two half-kicks with the same
+    # gradient compose to one full kick).  As a learned kernel it is a
+    # different — equally expressive — parametrization family, so it is
+    # opt-in; default False keeps reference-kernel parity.
+    merge_v_halves: bool = False
 
 
 class DynamicsParams(NamedTuple):
@@ -211,8 +222,9 @@ def make_dynamics(
             feats = jnp.concatenate([mask, mask], axis=-1) * feats
         return feats
 
-    def update_v(params, x, v, g, beta, tau, d_col, d_row, eps, aux):
-        """Direction-fused momentum half-step.
+    def update_v(params, x, v, g, beta, tau, d_col, d_row, eps, aux,
+                 factor=0.5):
+        """Direction-fused momentum kick (``factor`` x eps; 0.5 = half-step).
 
         ``d_col (batch,1)`` / ``d_row (batch,)`` in {+1,-1}.  Shares the
         gradient + VNet evaluation across directions; elementwise combines
@@ -220,16 +232,19 @@ def make_dynamics(
         the caller caches it across leapfrog steps (the last half-step of
         step i and the first of step i+1 evaluate it at the same x), which
         cuts potential-gradient evaluations from 2K+... to K+1 per
-        trajectory.
+        trajectory.  ``factor=1.0`` is the merged full-step boundary kick
+        (``merge_v_halves``); the ``exp(eps*q)`` gradient-scaling keeps the
+        full eps in either case, as the reference's half-step does
+        (``gauge_dynamics.py:497-508``).
         """
         s, t, q = vnet_apply_(params.vnet, pos_features(x), g, tau, aux)
-        half_s = 0.5 * eps * s
-        a = 0.5 * eps * (jnp.exp(eps * q) * g - t)
+        h_s = factor * eps * s
+        a = factor * eps * (jnp.exp(eps * q) * g - t)
         # one signed exp instead of separate exp(+h)/exp(-h) branches:
         # fwd (d=+1): v*exp(h) - a;  bwd (d=-1): (v+a)*exp(-h)
-        e = jnp.exp(d_col * half_s)
+        e = jnp.exp(d_col * h_s)
         v_new = jnp.where(d_col > 0, v * e - a, (v + a) * e)
-        logdet = d_row * jnp.sum(half_s, axis=-1)
+        logdet = d_row * jnp.sum(h_s, axis=-1)
         return v_new, logdet
 
     def circle_scale(x, a):
@@ -315,7 +330,7 @@ def make_dynamics(
 
     step_fn = jax.checkpoint(leapfrog_step, static_argnums=()) if cfg.remat else leapfrog_step
 
-    def integrate(params, x, v, beta, direction, aux=None):
+    def _integrate_split(params, x, v, beta, direction, aux=None):
         """Run ``num_steps`` leapfrog steps; ``direction (batch,)`` in {+1,-1}."""
         eps = get_eps(params, cfg)
 
@@ -330,6 +345,72 @@ def make_dynamics(
             body, init, jnp.arange(cfg.num_steps)
         )
         return x, v, sumlogdet
+
+    def leapfrog_step_merged(params, x, v, g, beta, step, d_row, eps, aux):
+        """One ``merge_v_halves`` step: boundary V kick, then the two X
+        sub-updates.
+
+        Body ``step`` applies the momentum kick that precedes its X
+        updates: a half-kick at trajectory time 0 (step 0) or a merged
+        full kick at the boundary time ``step - 1/2`` otherwise.  The
+        closing half-kick at time K-1 runs after the scan (the caller).
+        Backward (d=-1) reads the reversed time sequence, so the map is
+        the exact inverse of forward by construction.
+        """
+        K = cfg.num_steps
+        d_col = d_row[:, None]
+        idx = jnp.where(d_row > 0, step, K - 1 - step).astype(jnp.int32)
+        tau_x = time_encoding(idx, K)
+        mask = params.masks[idx]
+        mask_inv = 1.0 - mask
+        hold1 = jnp.where(d_col > 0, mask, mask_inv)
+        hold2 = 1.0 - hold1
+
+        is_first = (step == 0)
+        factor = jnp.where(is_first, 0.5, 1.0)
+        t_fwd = jnp.where(is_first, 0.0, step - 0.5)
+        t_bwd = jnp.where(is_first, K - 1.0, K - 0.5 - step)
+        tau_v = time_encoding(jnp.where(d_row > 0, t_fwd, t_bwd), K)
+
+        sumlogdet = jnp.zeros(x.shape[0], x.dtype)
+        v, ld = update_v(params, x, v, g, beta, tau_v, d_col, d_row, eps,
+                         aux, factor=factor)
+        sumlogdet += ld
+        x, ld = update_x(params, x, v, tau_x, hold1, d_col, d_row, eps, aux)
+        sumlogdet += ld
+        x, ld = update_x(params, x, v, tau_x, hold2, d_col, d_row, eps, aux)
+        sumlogdet += ld
+        g = grad_potential(x, beta)
+        return x, v, g, sumlogdet
+
+    merged_step_fn = (
+        jax.checkpoint(leapfrog_step_merged) if cfg.remat else leapfrog_step_merged
+    )
+
+    def _integrate_merged(params, x, v, beta, direction, aux=None):
+        """``merge_v_halves`` trajectory: K+1 VNet calls instead of 2K."""
+        eps = get_eps(params, cfg)
+        d_col = direction[:, None]
+
+        def body(carry, step):
+            x, v, g, logdet = carry
+            x, v, g, ld = merged_step_fn(
+                params, x, v, g, beta, step, direction, eps, aux)
+            return (x, v, g, logdet + ld), None
+
+        init = (x, v, grad_potential(x, beta),
+                jnp.zeros(x.shape[0], x.dtype))
+        (x, v, g, sumlogdet), _ = jax.lax.scan(
+            body, init, jnp.arange(cfg.num_steps)
+        )
+        # closing half-kick: trajectory time K-1 forward, 0 backward
+        idx_last = jnp.where(direction > 0, cfg.num_steps - 1.0, 0.0)
+        tau_v = time_encoding(idx_last, cfg.num_steps)
+        v, ld = update_v(params, x, v, g, beta, tau_v, d_col, direction, eps,
+                         aux, factor=0.5)
+        return x, v, sumlogdet + ld
+
+    integrate = _integrate_merged if cfg.merge_v_halves else _integrate_split
 
     def accept_prob_fn(x0, v0, x1, v1, sumlogdet, beta):
         """``exp(min(H0 - H1 + logdet, 0))`` with NaN->0

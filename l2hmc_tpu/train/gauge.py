@@ -101,6 +101,10 @@ class GaugeConfig:
     beta_final: float = 4.0
     # both_directions debug parity mode
     both_directions: bool = False
+    # merge adjacent momentum half-steps across leapfrog steps (K+1 VNet
+    # calls instead of 2K; see DynamicsConfig.merge_v_halves).  Exact kernel,
+    # different learned family; off by default for reference parity.
+    merge_v_halves: bool = False
     # gauge action: 'wilson' (analytic-VJP hot path) or 'improved'
     # (tree-level Symanzik, u1.improved_action).  Note the exact-plaquette
     # oracle I1/I0(beta) applies to the Wilson action only.
@@ -176,6 +180,7 @@ def build_dynamics(cfg: GaugeConfig):
         both_directions=cfg.both_directions,
         group=cfg.group,
         eps_cap=cfg.eps_cap,
+        merge_v_halves=cfg.merge_v_halves,
     )
     (xi, xa), (vi, va) = build_networks(cfg)
     if cfg.action == "improved":

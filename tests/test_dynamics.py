@@ -29,7 +29,8 @@ X_DIM = 4
 BATCH = 6
 
 
-def build(key, hmc=False, both=False, num_steps=3, x_dim=X_DIM, use_log_eps=False):
+def build(key, hmc=False, both=False, num_steps=3, x_dim=X_DIM,
+          use_log_eps=False, merged=False):
     target = None
     if x_dim == 2:
         target = scg_2d()
@@ -41,7 +42,7 @@ def build(key, hmc=False, both=False, num_steps=3, x_dim=X_DIM, use_log_eps=Fals
 
     cfg = DynamicsConfig(
         x_dim=x_dim, num_steps=num_steps, hmc=hmc, both_directions=both,
-        use_log_eps=use_log_eps, remat=False,
+        use_log_eps=use_log_eps, remat=False, merge_v_halves=merged,
     )
     xi, xa = make_mlp_net(MLPNetSpec(x_dim=x_dim, num_hidden=8, factor=2.0))
     vi, va = make_mlp_net(MLPNetSpec(x_dim=x_dim, num_hidden=8, factor=1.0))
@@ -336,3 +337,75 @@ def test_u1_kernel_detailed_balance_vs_metropolis(key):
     assert abs(plaq - exact) < 0.02, (
         f"u1 kernel biased: plaq {plaq:.5f} vs exact {exact:.5f} (acc {acc:.3f})"
     )
+
+
+# ---------------------------------------------------------------------------
+# merge_v_halves: the K+1-VNet-call integrator (DynamicsConfig.merge_v_halves)
+
+
+def test_merged_equals_split_in_hmc_mode(key):
+    """With zero nets, two adjacent half-kicks at the same cached gradient
+    compose to exactly one full kick: the merged integrator must reproduce
+    the split one bit-for-bit in HMC mode."""
+    kx, kv = jax.random.split(key)
+    x = jax.random.normal(kx, (BATCH, X_DIM))
+    v = jax.random.normal(kv, (BATCH, X_DIM))
+    dirs = jnp.where(jnp.arange(BATCH) % 2 == 0, 1.0, -1.0)
+
+    _, params, dyn_split, _ = build(key, hmc=True)
+    _, params_m, dyn_merged, _ = build(key, hmc=True, merged=True)
+    xs, vs, lds = dyn_split["integrate"](params, x, v, 1.0, dirs)
+    xm, vm, ldm = dyn_merged["integrate"](params_m, x, v, 1.0, dirs)
+    np.testing.assert_allclose(xm, xs, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(vm, vs, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(ldm, lds, atol=1e-6)
+
+
+def test_merged_reversibility(key):
+    cfg, params, dyn, _ = build(key, merged=True)
+    kx, kv = jax.random.split(key)
+    x = jax.random.normal(kx, (BATCH, X_DIM))
+    v = jax.random.normal(kv, (BATCH, X_DIM))
+    ones = jnp.ones(BATCH)
+
+    xf, vf, ldf = dyn["integrate"](params, x, v, 1.0, ones)
+    xr, vr, ldb = dyn["integrate"](params, xf, vf, 1.0, -ones)
+    np.testing.assert_allclose(xr, x, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(vr, v, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(ldf + ldb, 0.0, atol=1e-4)
+
+
+def test_merged_logdet_matches_autodiff_jacobian(key):
+    cfg, params, dyn, _ = build(key, num_steps=3, merged=True)
+
+    def flat_map(xv, direction):
+        x = xv[None, :X_DIM]
+        v = xv[None, X_DIM:]
+        xo, vo, ld = dyn["integrate"](params, x, v, 1.0, direction * jnp.ones(1))
+        return jnp.concatenate([xo[0], vo[0]]), ld[0]
+
+    xv = jax.random.normal(key, (2 * X_DIM,))
+    for direction in (1.0, -1.0):
+        jac = jax.jacfwd(lambda z: flat_map(z, direction)[0])(xv)
+        _, ld = flat_map(xv, direction)
+        sign, logdet = jnp.linalg.slogdet(jac)
+        assert float(sign) == pytest.approx(1.0)
+        np.testing.assert_allclose(ld, logdet, rtol=1e-3, atol=1e-4)
+
+
+def test_merged_transition_trains_and_accepts(key):
+    """Merged kernel: transition is finite, accepts at a healthy rate, and
+    MH leaves the target invariant at moment level (short-chain check)."""
+    cfg, params, dyn, pot = build(key, merged=True)
+    x = jax.random.normal(key, (256, X_DIM))
+
+    @jax.jit
+    def run(params, x, key):
+        def body(x, k):
+            out = dyn["transition"](params, x, 1.0, k)
+            return out.x_out, out.accept_prob
+        return jax.lax.scan(body, x, jax.random.split(key, 200))
+
+    x_out, probs = run(params, x, key)
+    assert np.isfinite(np.asarray(x_out)).all()
+    assert 0.2 < float(np.asarray(probs[100:]).mean()) <= 1.0
