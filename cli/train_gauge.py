@@ -79,10 +79,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="in-training eval every N steps (0=off)")
     p.add_argument("--run_steps", type=int, default=2000,
                    help="post-training eval steps per beta")
-    p.add_argument("--eval_init", default="train", choices=["train", "random"],
+    p.add_argument("--eval_init", default="train",
+                   choices=["train", "random", "metropolis"],
                    help="eval chain start: annealed training chains (default; "
                         "fresh random chains can freeze in metastable defects "
-                        "at large beta) or reference-parity random")
+                        "at large beta), reference-parity random, or the "
+                        "annealed chains equilibrated by exact checkerboard "
+                        "Metropolis sweeps at the eval beta (the standard "
+                        "lattice warm start; required at 64x64 where a fast "
+                        "anneal leaves chains in a >10k-step metastable "
+                        "plateau -- RESULTS.md)")
+    p.add_argument("--eval_therm_sweeps", type=int, default=2000,
+                   help="Metropolis sweeps for --eval_init metropolis")
     p.add_argument("--restore", action="store_true")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--tensorboard", action="store_true", help="write TB scalar summaries")
@@ -217,6 +225,15 @@ def main(argv=None):
             key, k0, k1 = jax.random.split(key, 3)
             if args.eval_init == "train":
                 x = state.x
+            elif args.eval_init == "metropolis":
+                from l2hmc_tpu.lattice.metropolis import thermalize
+
+                x = jax.jit(
+                    lambda x, k: thermalize(
+                        k, x, cfg.shape, beta, args.eval_therm_sweeps)
+                )(state.x, k0)
+                log(f"  eval init: {args.eval_therm_sweeps} Metropolis "
+                    f"sweeps at beta={beta:g}")
             else:
                 x = u1.random_links(k0, cfg.num_chains, cfg.shape)
             all_metrics = {}

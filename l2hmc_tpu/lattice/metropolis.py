@@ -131,3 +131,28 @@ def metropolis_chain(
     keys = jax.random.split(key, num_sweeps // thin)
     links, (plaqs, charges) = jax.lax.scan(body, links, keys)
     return plaqs, charges
+
+
+def thermalize(
+    key: jax.Array,
+    x: jax.Array,
+    shape: u1.LatticeShape,
+    beta,
+    num_sweeps: int,
+) -> jax.Array:
+    """Equilibrate flat configs ``x (batch, x_dim)`` with exact checkerboard
+    Metropolis sweeps at ``beta``; returns updated flat configs.
+
+    The standard lattice warm start for a sampler eval: chains left below
+    equilibrium by a fast beta-annealing schedule relax in O(10^3) cheap
+    local sweeps, where the global-update kernels need >10^4 transitions
+    (measured at 64x64, RESULTS.md).
+    """
+    links = u1.to_links(x, shape)
+
+    def body(links, k):
+        out, _ = metropolis_sweep(links, beta, k)
+        return out, None
+
+    links, _ = jax.lax.scan(body, links, jax.random.split(key, num_sweeps))
+    return u1.to_flat(links)

@@ -39,6 +39,19 @@ def test_metropolis_plaquette_matches_oracle(key):
     assert q.std() > 0.1
 
 
+def test_metropolis_thermalize_reaches_oracle(key):
+    """`thermalize` (the --eval_init metropolis warm start) drives cold
+    flat configs to the exact plaquette at beta=4 on 8x8."""
+    from l2hmc_tpu.lattice.metropolis import thermalize
+
+    shape = u1.LatticeShape(8, 8)
+    x0 = jnp.zeros((8, shape.x_dim))  # cold start
+    x = jax.jit(lambda x, k: thermalize(k, x, shape, 4.0, 500))(x0, key)
+    plaq = float(np.asarray(u1.observables(x, shape)["plaqs"]).mean())
+    exact = float(u1.u1_plaq_exact(4.0))
+    assert abs(plaq - exact) < 0.02, f"plaq {plaq} vs {exact}"
+
+
 def test_metropolis_local_action_consistent(key):
     """Accepting a proposal changes the global Wilson action by exactly the
     local delta used in the accept test (validates the staple algebra)."""
