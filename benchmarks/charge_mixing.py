@@ -157,7 +157,7 @@ def main(argv=None):
     result = {
         "benchmark": "topological_charge_mixing",
         "config": f"U(1) {args.size}x{args.size}, {args.num_chains} chains, "
-                  f"3 leapfrog steps, beta={beta}",
+                  f"{args.num_steps} leapfrog steps, beta={beta}",
         "q2_exact": round(float(
             u1.topological_susceptibility_exact(beta, shape.num_plaquettes)), 3),
         "l2hmc": res_l2,
