@@ -52,6 +52,23 @@ def chain_time_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(None, "data"))
 
 
+def lattice_sharding(mesh: Mesh) -> NamedSharding:
+    """Chains over 'data' AND the flat lattice axis over 'space':
+    ``(batch, x_dim)`` fully domain-decomposed.
+
+    The FULL transition (periodic CNN, Wilson-action rolls, per-chain
+    H/logdet reductions) runs under this sharding via GSPMD alone — XLA
+    inserts the halo exchanges for the convs/rolls and psums for the
+    per-chain reductions; validated exact vs replicated in
+    ``tests/test_domain.py`` and executed by ``dryrun_multichip``.  This
+    subsumes the action-only manual-halo path (``parallel/domain.py``,
+    kept as the explicit-ppermute reference) and is the large-L recipe:
+    lattices whose trunk/activations exceed one chip's HBM shard over
+    'space' with no kernel changes (SURVEY §5.7).
+    """
+    return NamedSharding(mesh, P("data", "space"))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -89,3 +89,32 @@ def test_domain_end_to_end_hmc(mesh, key):
     exact = float(u1.u1_plaq_exact(2.0))
     assert abs(plaq - exact) < 0.03, f"plaq {plaq} vs {exact}"
     assert float(np.asarray(probs).mean()) > 0.5
+
+
+def test_full_transition_domain_sharded_matches_replicated(key):
+    """The COMPLETE transition (periodic CNN nets + Wilson VJP + MH) under
+    `lattice_sharding` (batch over 'data', flat lattice over 'space') is
+    bit-identical (to f32 roundoff) to the replicated run: GSPMD inserts
+    the conv/roll halo exchanges and per-chain reduction psums itself."""
+    from l2hmc_tpu.parallel.mesh import lattice_sharding, replicated
+    from l2hmc_tpu.train.gauge import GaugeConfig, build_dynamics, init_train_state
+
+    mesh = get_mesh(num_data=2, num_space=4)
+    cfg = GaugeConfig(time_size=8, space_size=8, num_chains=4, num_steps=2,
+                      network_arch="conv", num_filters=4, num_hidden=32)
+    state = init_train_state(cfg, key)
+    _, dyn, _ = build_dynamics(cfg)
+    rep = replicated(mesh)
+    xsh = lattice_sharding(mesh)
+
+    params = jax.device_put(state.params, rep)
+    x_sharded = jax.device_put(state.x, xsh)
+    f = jax.jit(lambda p, x, k: dyn["transition"](p, x, 2.0, k),
+                in_shardings=(rep, xsh, rep))
+    out = f(params, x_sharded, key)
+    out_ref = jax.jit(lambda p, x, k: dyn["transition"](p, x, 2.0, k))(
+        state.params, state.x, key)
+    np.testing.assert_allclose(
+        np.asarray(out.x_out), np.asarray(out_ref.x_out), atol=5e-6)
+    np.testing.assert_allclose(
+        np.asarray(out.accept_prob), np.asarray(out_ref.accept_prob), atol=5e-6)
