@@ -159,7 +159,6 @@ def main():
         flop_floor = cost["flops"] / 49e12
         hbm_floor = cost["bytes"] / 819e9
         sol = max(flop_floor, hbm_floor)
-        measured_peak = _measure_matmul_peak()
         roofline = {
             "flops_per_transition": cost["flops"],
             "hbm_bytes_per_transition": cost["bytes"],
@@ -167,16 +166,29 @@ def main():
                 cost["flops"] / cost["bytes"], 1),
             "sustained_tflops": round(cost["flops"] / t_tr / 1e12, 2),
             "pct_of_speed_of_light": round(100 * sol / t_tr, 1),
-            "measured_f32_matmul_peak_tflops": round(measured_peak / 1e12, 2),
-            "pct_of_measured_matmul_peak": round(
-                100 * cost["flops"] / t_tr / measured_peak, 1),
         }
+        if jax.devices()[0].platform == "tpu":
+            # probe only on the real chip: on CPU it would take minutes and
+            # measure host cores, not a chip
+            measured_peak = _measure_matmul_peak()
+            roofline["measured_f32_matmul_peak_tflops"] = round(
+                measured_peak / 1e12, 2)
+            # NOTE: numerator is TOTAL cost-model FLOPs (matmul + VPU work),
+            # denominator a pure serial-matmul ceiling — an upper-bound
+            # utilization proxy, not MXU occupancy; >100% means VPU/HBM
+            # work overlaps the MXU stream.  Used as saturation evidence
+            # (sustained total rate ~ the chip's deliverable matmul rate),
+            # not as a claim that every matmul runs at peak.
+            roofline["total_flops_vs_measured_matmul_rate_pct"] = round(
+                100 * cost["flops"] / t_tr / measured_peak, 1)
+            _trace(f"measured chip f32 matmul rate "
+                   f"{roofline['measured_f32_matmul_peak_tflops']} TFLOP/s; "
+                   f"sustained total FLOP/s = "
+                   f"{roofline['total_flops_vs_measured_matmul_rate_pct']}% "
+                   f"of it (upper-bound utilization proxy)")
         _trace(f"roofline: {roofline['sustained_tflops']} TFLOP/s sustained, "
                f"{roofline['pct_of_speed_of_light']}% of speed-of-light "
-               f"(AI {roofline['arithmetic_intensity_flop_per_byte']} flop/B); "
-               f"measured chip f32 matmul peak "
-               f"{roofline['measured_f32_matmul_peak_tflops']} TFLOP/s -> "
-               f"{roofline['pct_of_measured_matmul_peak']}% of measured peak")
+               f"(AI {roofline['arithmetic_intensity_flop_per_byte']} flop/B)")
 
     # ESS/s of the average plaquette: HMC-mode kernel (well-defined without
     # a trained checkpoint), thermalized chains, 1500 recorded transitions.

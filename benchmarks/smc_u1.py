@@ -44,7 +44,7 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    from l2hmc_tpu.dynamics.hmc import hmc_chain, hmc_transition
+    from l2hmc_tpu.dynamics.hmc import hmc_chain
     from l2hmc_tpu.dynamics.smc import smc_beta_ladder
     from l2hmc_tpu.lattice import u1
 
@@ -55,20 +55,19 @@ def main(argv=None):
     # equilibrate the ensemble at beta_init
     k0, k1, key = jax.random.split(key, 3)
     x0 = u1.random_links(k0, args.particles, shape)
-    eps0 = 0.4 / np.sqrt(args.beta_init)
+    eps0 = (64.0 / shape.num_plaquettes) ** 0.25 * 0.4 / np.sqrt(args.beta_init)
     xs, probs = jax.jit(
         lambda x, k: hmc_chain(pot, x, args.beta_init, k, eps0, args.leapfrog,
                                args.thermalize, wrap_fn=u1.wrap)
     )(x0, k1)
     x0 = xs[-1]
 
-    def move(x, b, k, _):
-        def one(x, kk):
-            out = hmc_transition(pot, x, b, kk, 0.4 / jnp.sqrt(b), args.leapfrog)
-            return u1.wrap(out.x_out), None
+    from l2hmc_tpu.dynamics.smc import (
+        make_u1_hmc_move, u1_log_z_exact_factorized, weighted_mean,
+    )
 
-        x, _ = jax.lax.scan(one, x, jax.random.split(k, args.moves_per_rung))
-        return x
+    move = make_u1_hmc_move(pot, u1.wrap, shape.num_plaquettes,
+                            args.leapfrog, args.moves_per_rung)
 
     betas = jnp.linspace(args.beta_init, args.beta_final, args.betas)
     t0 = time.perf_counter()
@@ -79,16 +78,13 @@ def main(argv=None):
     wall = time.perf_counter() - t0
 
     obs = u1.observables(final.x, shape)
-    plaq = float(np.asarray(obs["plaqs"]).mean())
+    # importance-weighted mean: the final population carries residual
+    # log-weights under adaptive resampling
+    plaq = float(weighted_mean(final.log_w, obs["plaqs"]))
     exact = float(u1.u1_plaq_exact(args.beta_final))
 
-    # analytic per-plaquette log Z ratio: log[I0(b1) e^{-b1}] - log[I0(b0) e^{-b0}]
-    from scipy.special import i0e
-
-    n_plaq = shape.num_plaquettes
-    log_z_exact = n_plaq * float(
-        np.log(i0e(args.beta_final)) - np.log(i0e(args.beta_init))
-    )
+    log_z_exact = u1_log_z_exact_factorized(
+        shape.num_plaquettes, args.beta_init, args.beta_final)
 
     result = {
         "lattice": f"{args.size}x{args.size}",

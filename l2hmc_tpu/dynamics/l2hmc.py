@@ -297,24 +297,29 @@ def make_dynamics(
             logdet = jnp.sum((1.0 - hold_mask) * ld_elem, axis=-1)
         return x_new, logdet
 
-    def leapfrog_step(params, x, v, g, beta, step, d_row, eps, aux):
-        """One augmented leapfrog step with per-chain direction ``d_row``.
-
-        ``step`` is the scan index; each chain reads masks/time at
-        ``i = step`` (forward) or ``i = K-1-step`` (backward) —
-        reference ``gauge_dynamics.py:412-483``.  ``g`` is the cached
-        potential gradient at ``x``; the fresh gradient at the updated
-        position is returned for the next step.
-        """
+    def _step_context(params, step, d_row):
+        """Per-step mask/time indexing shared by the split and merged
+        integrators: each chain reads masks/time at ``i = step`` (forward)
+        or ``i = K-1-step`` (backward) — reference
+        ``gauge_dynamics.py:412-483``.  Returns
+        ``(d_col, tau, hold1, hold2)`` where forward within-step X order is
+        hold=m then hold=1-m and backward the reverse."""
         d_col = d_row[:, None]
         idx = jnp.where(d_row > 0, step, cfg.num_steps - 1 - step).astype(jnp.int32)
         tau = time_encoding(idx, cfg.num_steps)
         mask = params.masks[idx]            # (batch, x_dim) per-chain gather
         mask_inv = 1.0 - mask
-        # forward within-step order: V, X(hold=m), X(hold=1-m), V
-        # backward order:            V, X(hold=1-m), X(hold=m), V
         hold1 = jnp.where(d_col > 0, mask, mask_inv)
         hold2 = 1.0 - hold1
+        return d_col, tau, hold1, hold2
+
+    def leapfrog_step(params, x, v, g, beta, step, d_row, eps, aux):
+        """One augmented leapfrog step with per-chain direction ``d_row``.
+
+        ``g`` is the cached potential gradient at ``x``; the fresh
+        gradient at the updated position is returned for the next step.
+        """
+        d_col, tau, hold1, hold2 = _step_context(params, step, d_row)
 
         sumlogdet = jnp.zeros(x.shape[0], x.dtype)
         v, ld = update_v(params, x, v, g, beta, tau, d_col, d_row, eps, aux)
@@ -358,13 +363,7 @@ def make_dynamics(
         the exact inverse of forward by construction.
         """
         K = cfg.num_steps
-        d_col = d_row[:, None]
-        idx = jnp.where(d_row > 0, step, K - 1 - step).astype(jnp.int32)
-        tau_x = time_encoding(idx, K)
-        mask = params.masks[idx]
-        mask_inv = 1.0 - mask
-        hold1 = jnp.where(d_col > 0, mask, mask_inv)
-        hold2 = 1.0 - hold1
+        d_col, tau_x, hold1, hold2 = _step_context(params, step, d_row)
 
         is_first = (step == 0)
         factor = jnp.where(is_first, 0.5, 1.0)

@@ -91,3 +91,49 @@ def smc_beta_ladder(
     # fold in the remaining weights
     log_z = final.log_z + jax.scipy.special.logsumexp(final.log_w) - jnp.log(n)
     return SMCState(x=final.x, log_w=final.log_w, log_z=log_z), ess_trace
+
+
+def weighted_mean(log_w: jax.Array, values: jax.Array) -> jax.Array:
+    """Importance-weighted ensemble mean ``sum(softmax(log_w) * values)``.
+
+    The correct estimator for observables of the final SMC population:
+    resampling triggers only when ESS dips below threshold, so the last
+    rung's particles generally carry non-uniform residual weights — an
+    unweighted mean is biased exactly when the final ESS is lowest.
+    """
+    return jnp.sum(jax.nn.softmax(log_w) * values)
+
+
+def make_u1_hmc_move(potential_fn, wrap_fn, num_plaquettes: int,
+                     leapfrog: int, moves_per_rung: int):
+    """Standard SMC move kernel for U(1): ``moves_per_rung`` HMC
+    transitions with the volume-scaled step ``(64/n_plaq)^(1/4) *
+    0.4/sqrt(beta)`` (leapfrog error grows ~V*eps^4; the 8x8-tuned base
+    rule loses acceptance at larger volumes — RESULTS.md).  Shared by
+    ``benchmarks/smc_u1.py`` and ``benchmarks/config5_multihost.py``.
+    """
+    from l2hmc_tpu.dynamics.hmc import hmc_transition
+
+    eps_scale = (64.0 / num_plaquettes) ** 0.25
+
+    def move(x, b, k, _):
+        def one(x, kk):
+            out = hmc_transition(potential_fn, x, b, kk,
+                                 eps_scale * 0.4 / jnp.sqrt(b), leapfrog)
+            return wrap_fn(out.x_out), None
+
+        x, _ = jax.lax.scan(one, x, jax.random.split(k, moves_per_rung))
+        return x
+
+    return move
+
+
+def u1_log_z_exact_factorized(num_plaquettes: int, beta_init, beta_final):
+    """Analytic anchor: per-plaquette ``log[I0(b1)e^{-b1} / I0(b0)e^{-b0}]``
+    times the plaquette count (2-D U(1) factorizes up to the global charge
+    constraint)."""
+    from scipy.special import i0e
+    import numpy as np
+
+    return num_plaquettes * float(
+        np.log(i0e(beta_final)) - np.log(i0e(beta_init)))
