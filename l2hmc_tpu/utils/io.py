@@ -144,8 +144,51 @@ class MetricsLogger:
             log(" ".join(parts))
         self._n += 1
 
+    def write_summaries(self, step: int, tree, prefix: str = "params"):
+        """Per-variable mean/std/min/max (+ TB histogram) summaries.
+
+        Rebuild of ``utils/tf_logging.py:74-86`` (``variable_summaries``:
+        mean/stddev/max/min/histogram per variable), which the reference
+        attaches to every trainable variable and gradient
+        (``gauge_model.py:858-886``).  Here: call with the params (or
+        grads) pytree at logging steps; scalars land in ``metrics.jsonl``
+        under ``{prefix}/{path}/{stat}`` and, when TensorBoard is on,
+        as scalars + histograms.
+        """
+        stats = variable_summaries(tree, prefix)
+        if self._file is not None:
+            self._file.write(json.dumps({"step": int(step), **stats}) + "\n")
+            self._file.flush()
+        if self._tb is not None:
+            for k, v in stats.items():
+                self._tb.add_scalar(k, v, int(step))
+            leaves = jax.tree_util.tree_leaves_with_path(tree)
+            for path, leaf in leaves:
+                name = f"{prefix}/{_path_str(path)}"
+                self._tb.add_histogram(name, np.asarray(leaf).ravel(), int(step))
+
     def close(self):
         if self._file is not None:
             self._file.close()
         if self._tb is not None:
             self._tb.close()
+
+
+def _path_str(path) -> str:
+    return "/".join(
+        str(getattr(p, "name", getattr(p, "key", getattr(p, "idx", p))))
+        for p in path
+    )
+
+
+def variable_summaries(tree, prefix: str = "params") -> Dict[str, float]:
+    """mean/std/min/max per pytree leaf (``utils/tf_logging.py:74-86``)."""
+    out: Dict[str, float] = {}
+    for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+        arr = np.asarray(leaf)
+        name = f"{prefix}/{_path_str(path)}"
+        out[f"{name}/mean"] = float(arr.mean())
+        out[f"{name}/stddev"] = float(arr.std())
+        out[f"{name}/min"] = float(arr.min())
+        out[f"{name}/max"] = float(arr.max())
+    return out

@@ -152,3 +152,33 @@ def test_vae_cli_smoke(tmp_path):
     summary = json.loads((tmp_path / "run_1" / "summary.json").read_text())
     assert np.isfinite(summary["ais_log_likelihood_mean"])
     assert 0.0 <= summary["sampler_accept_prob"] <= 1.0
+
+
+def test_variable_summaries(tmp_path):
+    """utils/tf_logging.py:74-86 parity: per-variable mean/std/min/max."""
+    from l2hmc_tpu.utils.io import MetricsLogger, variable_summaries
+
+    tree = {"net": {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.zeros(3)}}
+    stats = variable_summaries(tree)
+    assert stats["params/net/w/mean"] == 2.5
+    assert stats["params/net/w/min"] == 0.0 and stats["params/net/w/max"] == 5.0
+    assert stats["params/net/b/stddev"] == 0.0
+
+    logger = MetricsLogger(tmp_path, print_every=10**9)
+    logger.write_summaries(5, tree, prefix="grads")
+    logger.close()
+    rec = json.loads((tmp_path / "metrics.jsonl").read_text().splitlines()[0])
+    assert rec["step"] == 5 and rec["grads/net/w/mean"] == 2.5
+
+
+def test_dtypes_switch(monkeypatch):
+    """utils/config.py:26-27 parity: FLOAT/NP_FLOAT from L2HMC_FLOAT."""
+    from l2hmc_tpu.utils import dtypes
+
+    assert dtypes.FLOAT == np.float32 and dtypes.NP_FLOAT == np.float32
+    monkeypatch.setenv("L2HMC_FLOAT", "f64")
+    assert dtypes._from_env() == "float64"
+    monkeypatch.setenv("L2HMC_FLOAT", "bogus")
+    with pytest.raises(ValueError):
+        dtypes._from_env()
+    assert jnp.zeros(2, dtypes.FLOAT).dtype == np.float32
