@@ -94,6 +94,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--restore", action="store_true")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--tensorboard", action="store_true", help="write TB scalar summaries")
+    p.add_argument("--summary_steps", type=int, default=0,
+                   help="per-variable param summaries every N steps (0=off; "
+                        "reference variable_summaries, utils/tf_logging.py:74-86)")
     p.add_argument("--profile", action="store_true",
                    help="jax.profiler trace of steps 10-20")
     return p
@@ -199,6 +202,8 @@ def main(argv=None):
             t_prev = t_now
             logger.write(rec)
 
+            if args.summary_steps and step % args.summary_steps < chunk_size:
+                logger.write_summaries(step, state.params)
             if args.save_steps and step % args.save_steps < chunk_size:
                 ckpt.save_checkpoint(ckpt_dir, state, step, cfg)
             if eval_chunk is not None and step % args.eval_steps < chunk_size:
