@@ -23,12 +23,11 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
+from l2hmc_tpu.utils.flags import ArgfileParser  # noqa: E402
+
 
 def build_parser() -> argparse.ArgumentParser:
-    p = argparse.ArgumentParser(
-        description=__doc__, fromfile_prefix_chars="@",
-        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
-    )
+    p = ArgfileParser(description=__doc__)
     # lattice / dynamics (names follow the reference flags)
     p.add_argument("--time_size", type=int, default=8)
     p.add_argument("--space_size", type=int, default=8)

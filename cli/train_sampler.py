@@ -24,12 +24,11 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
+from l2hmc_tpu.utils.flags import ArgfileParser  # noqa: E402
+
 
 def build_parser():
-    p = argparse.ArgumentParser(
-        description=__doc__, fromfile_prefix_chars="@",
-        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
-    )
+    p = ArgfileParser(description=__doc__)
     p.add_argument("--target", default="scg",
                    choices=["scg", "tilted", "gmm_axes", "gmm_ring",
                             "rough_well", "funnel"])

@@ -23,12 +23,11 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
+from l2hmc_tpu.utils.flags import ArgfileParser  # noqa: E402
+
 
 def build_parser():
-    p = argparse.ArgumentParser(
-        description=__doc__, fromfile_prefix_chars="@",
-        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
-    )
+    p = ArgfileParser(description=__doc__)
     p.add_argument("--n", type=int, default=2, choices=[2, 3], help="SU(N)")
     p.add_argument("--time_size", type=int, default=8)
     p.add_argument("--space_size", type=int, default=8)
@@ -43,6 +42,10 @@ def build_parser():
     p.add_argument("--num_steps", type=int, default=3, help="leapfrog steps")
     p.add_argument("--eps", type=float, default=0.15)
     p.add_argument("--hmc", action="store_true", help="plain HMC, no training")
+    p.add_argument("--learn_position", action="store_true",
+                   help="learned masked position translation (exactly "
+                        "Haar-measure-preserving) on top of the augmented "
+                        "momentum kernel")
     p.add_argument("--num_hidden", type=int, default=32)
     p.add_argument("--train_steps", type=int, default=1000)
     p.add_argument("--lr_init", type=float, default=1e-3)
@@ -135,7 +138,8 @@ def main(argv=None):
 
     cfg = SUNL2HMCConfig(n=n, num_steps=args.num_steps, eps_init=args.eps,
                          hidden=args.num_hidden, eps_trainable=not args.hmc,
-                         real_pairs=real_pairs)
+                         real_pairs=real_pairs,
+                         learn_position=args.learn_position and not args.hmc)
     opt = optax.chain(
         optax.clip_by_global_norm(1.0),
         optax.adam(optax.warmup_exponential_decay_schedule(
@@ -211,7 +215,8 @@ def main(argv=None):
         "plaq_err": abs(meas - float(exact)),
         "accept_prob": float(np.asarray(probs).mean()),
         "esjd_plaq_trace": float(np.asarray(dists)[cut:].mean()),
-        "mode": "hmc" if args.hmc else "l2hmc",
+        "mode": "hmc" if args.hmc else (
+            "l2hmc+xnet" if args.learn_position else "l2hmc"),
     }
     (run_dir / "eval.json").write_text(json.dumps(summary, indent=2))
     log(f"SU({n}) beta={beta:g}: plaq={meas:.5f} (exact {float(exact):.5f}) "

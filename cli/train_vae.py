@@ -33,12 +33,11 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
+from l2hmc_tpu.utils.flags import ArgfileParser  # noqa: E402
+
 
 def build_parser():
-    p = argparse.ArgumentParser(
-        description=__doc__, fromfile_prefix_chars="@",
-        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
-    )
+    p = ArgfileParser(description=__doc__)
     # reference HParams (vae/mnist_vae.py:41-55)
     p.add_argument("--learning_rate", type=float, default=1e-3)
     p.add_argument("--epoch", type=int, default=20)

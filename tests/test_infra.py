@@ -182,3 +182,15 @@ def test_dtypes_switch(monkeypatch):
     with pytest.raises(ValueError):
         dtypes._from_env()
     assert jnp.zeros(2, dtypes.FLOAT).dtype == np.float32
+
+
+def test_argfile_comments_and_inline_values():
+    """Reference-parity @argfile format: `--flag value` on one line, `#`
+    comments, blank lines (gauge_model.py:2430-2434 shlex comments=True)."""
+    sys.path.insert(0, str(Path(__file__).parent.parent / "cli"))
+    import train_sampler
+
+    a = train_sampler.build_parser().parse_args(
+        ["@" + str(Path(__file__).parent.parent / "configs" / "mog_2d.txt")]
+    )
+    assert a.target == "gmm_axes" and a.annealing and a.temp_init == 10.0
