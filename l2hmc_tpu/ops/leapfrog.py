@@ -1,0 +1,349 @@
+"""Fused Pallas leapfrog-trajectory kernel for U(1) HMC.
+
+The BASELINE north star asks for "the dynamics as fused Pallas leapfrog
+kernels".  The first Pallas attempt (``ops/wilson.py``) fused only the
+action/gradient and measured *slower* than XLA — a standalone kernel cannot
+beat XLA's fusion of the same ops into the surrounding scan body, and its
+``(b, 16, 16)`` blocks drive the 8x128 VPU at 16/128 lane occupancy.
+
+This kernel attacks the real cost instead: the whole sampling *chain*.  One
+``pallas_call`` runs ``num_transitions`` complete HMC transitions — each
+K leapfrog steps of the Wilson-action gradient flow (analytic gradient, the
+same formulas as ``ops/wilson.py``), the mod-2pi wrap, the Hamiltonian
+bookkeeping, and the MH accept — with the chain state resident in VMEM
+throughout.  HBM sees the initial state once, the final state once, and one
+(num_transitions, chains) observable row per transition.  The XLA form
+(``dynamics/hmc.py hmc_chain``) round-trips the carry through HBM and
+launches several fusions per transition; at 16x16 that path is
+launch-latency-bound, which is exactly what a monolithic kernel removes.
+
+TPU-first layout: links are flat ``(chains, Lt*Lx)`` per direction — full
+128-lane occupancy (vs 16/128 for the naive ``(b, Lt, Lx)`` blocks).  The
+lattice ``roll``s become lane rotations: a time-roll is an exact global
+rotation by ``Lx`` (row-major flattening makes the t-wrap coincide with the
+array wrap) and a space-roll is a rotation by 1 corrected at the ``s``-row
+boundary with a second rotation and a column-mask select.
+
+Randomness: momenta and accept uniforms are generated in-kernel
+(``pltpu.prng_random_bits`` + Box-Muller), seeded per call and per grid
+program.  For exactness tests the kernel also takes a ``rand="input"`` mode
+where all randomness is passed in as arrays; the pure-JAX twin
+:func:`hmc_chain_reference` consumes the same arrays, so the kernel is
+testable bit-for-bit (to float tolerance) on CPU via ``interpret=True``.
+
+Reference semantics covered: plain-HMC transition = ``HMC/hmc.py:50-98``
+(also the ``hmc=True`` degeneration of ``dynamics/gauge_dynamics.py``, whose
+zero-net leapfrog reduces to exactly this integrator); Wilson action =
+``lattice/lattice.py:300-313``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_TWO_PI = 2.0 * np.pi
+
+
+# ---------------------------------------------------------------------------
+# Shared math on flat (batch, Lt*Lx) link arrays.
+#
+# Row-major flat index i = t * Lx + s.  ``roll`` is any function with
+# jnp.roll(a, k, axis=1) semantics; the kernel passes a Mosaic-friendly
+# implementation, the reference twin passes jnp.roll itself.
+# ---------------------------------------------------------------------------
+
+
+def _roll_t(a, k, lx, roll):
+    """roll(links, k, axis=time): exact global lane rotation by k*Lx."""
+    return roll(a, k * lx)
+
+
+def _roll_s(a, k, lx, s_col, roll):
+    """roll(links, k, axis=space) for k in {-1, +1}: lane rotation by k,
+    corrected at the s-row boundary (the global wrap crosses into the
+    neighboring t-row there)."""
+    if k == -1:
+        fix = roll(a, lx - 1)
+        return jnp.where(s_col == lx - 1, fix, roll(a, -1))
+    if k == 1:
+        fix = roll(a, -(lx - 1))
+        return jnp.where(s_col == 0, fix, roll(a, 1))
+    raise ValueError(k)
+
+
+def _plaq_flat(u0, u1, lx, s_col, roll):
+    """P = u0 - u1 - roll(u0,-1,s) + roll(u1,-1,t)  (ops/wilson.py:37-38)."""
+    return u0 - u1 - _roll_s(u0, -1, lx, s_col, roll) + _roll_t(u1, -1, lx, roll)
+
+
+def _grad_flat(sinp, lx, s_col, roll):
+    """dS/du0 = sinP - roll(sinP,+1,s); dS/du1 = -sinP + roll(sinP,+1,t)."""
+    g0 = sinp - _roll_s(sinp, 1, lx, s_col, roll)
+    g1 = -sinp + _roll_t(sinp, 1, lx, roll)
+    return g0, g1
+
+
+def _wrap(x):
+    return x - _TWO_PI * jnp.floor((x + np.pi) / _TWO_PI)
+
+
+def _transition_math(x0, x1, v0, v1, u, eps, beta, num_leapfrog, lx,
+                     s_col, roll):
+    """One full HMC transition on flat link arrays; pure function of its
+    inputs, usable inside the kernel and in the pure-JAX reference twin.
+
+    Returns ``(x0', x1', accept_prob, avg_plaq_of_output)``.
+    """
+    n_plaq = x0.shape[1]
+
+    def potential_and_sinp(y0, y1):
+        p = _plaq_flat(y0, y1, lx, s_col, roll)
+        pot = jnp.sum(1.0 - jnp.cos(p), axis=1)
+        return pot, jnp.sin(p)
+
+    pot0, sinp = potential_and_sinp(x0, x1)
+    ke0 = 0.5 * (jnp.sum(v0 * v0, axis=1) + jnp.sum(v1 * v1, axis=1))
+
+    g0, g1 = _grad_flat(sinp, lx, s_col, roll)
+    w0 = v0 - 0.5 * eps * beta * g0
+    w1 = v1 - 0.5 * eps * beta * g1
+    y0, y1 = x0, x1
+    pot1 = pot0  # overwritten in the loop
+    for k in range(num_leapfrog):
+        y0 = _wrap(y0 + eps * w0)
+        y1 = _wrap(y1 + eps * w1)
+        pot1, sinp = potential_and_sinp(y0, y1)
+        g0, g1 = _grad_flat(sinp, lx, s_col, roll)
+        c = eps if k < num_leapfrog - 1 else 0.5 * eps
+        w0 = w0 - c * beta * g0
+        w1 = w1 - c * beta * g1
+    ke1 = 0.5 * (jnp.sum(w0 * w0, axis=1) + jnp.sum(w1 * w1, axis=1))
+
+    dh = (beta * pot0 + ke0) - (beta * pot1 + ke1)
+    prob = jnp.exp(jnp.minimum(dh, 0.0))
+    prob = jnp.where(jnp.isfinite(prob), prob, jnp.zeros_like(prob))
+    # arithmetic 0/1 blend: Mosaic cannot minor-dim-broadcast i1 vectors
+    acc = (u < prob).astype(x0.dtype)
+    acc_col = acc[:, None]
+    x0 = acc_col * y0 + (1.0 - acc_col) * x0
+    x1 = acc_col * y1 + (1.0 - acc_col) * x1
+    # avg plaquette of the OUTPUT state: pot(x_out) is already in hand
+    pot_out = acc * pot1 + (1.0 - acc) * pot0
+    avg_plaq = 1.0 - pot_out / n_plaq
+    return x0, x1, prob, avg_plaq
+
+
+# ---------------------------------------------------------------------------
+# Pure-JAX reference twin (tests): same math, explicit randomness.
+# ---------------------------------------------------------------------------
+
+
+def hmc_chain_reference(links, v0s, v1s, us, eps, beta, num_leapfrog):
+    """Run ``N = v0s.shape[0]`` transitions with injected randomness.
+
+    ``links (B, Lt, Lx, 2)``; ``v0s/v1s (N, B, Lt*Lx)``; ``us (N, B)``.
+    Returns ``(links_out, plaq_trace (N, B), prob_trace (N, B))``.
+    """
+    b, lt, lx, _ = links.shape
+    d = lt * lx
+    s_col = (jax.lax.broadcasted_iota(jnp.int32, (b, d), 1) % lx)
+    roll = functools.partial(jnp.roll, axis=1)
+    x0 = links[..., 0].reshape(b, d)
+    x1 = links[..., 1].reshape(b, d)
+
+    def body(carry, rand):
+        x0, x1 = carry
+        v0, v1, u = rand
+        x0, x1, prob, plaq = _transition_math(
+            x0, x1, v0, v1, u, eps, beta, num_leapfrog, lx, s_col, roll)
+        return (x0, x1), (plaq, prob)
+
+    (x0, x1), (plaqs, probs) = jax.lax.scan(body, (x0, x1), (v0s, v1s, us))
+    out = jnp.stack([x0.reshape(b, lt, lx), x1.reshape(b, lt, lx)], axis=-1)
+    return out, plaqs, probs
+
+
+# ---------------------------------------------------------------------------
+# The fused kernel.
+# ---------------------------------------------------------------------------
+
+
+def _uniform_from_bits(bits):
+    """uint32 -> float32 uniform in (0, 1): 24-bit mantissa, never 0.
+
+    The shifted value fits in 24 bits, so the int32 round-trip is exact
+    (Mosaic has no uint32->f32 cast).
+    """
+    i24 = (bits >> 8).astype(jnp.int32)
+    return i24.astype(jnp.float32) * (1.0 / (1 << 24)) + (0.5 / (1 << 24))
+
+
+def _normal_pair(shape):
+    """Box-Muller normals from the in-kernel PRNG (one draw pair -> one
+    normal array; the sin half of an independent pair decorrelates arrays)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    u1 = _uniform_from_bits(b1)
+    u2 = _uniform_from_bits(b2)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    return r * jnp.cos(_TWO_PI * u2), r * jnp.sin(_TWO_PI * u2)
+
+
+def _build_chain_kernel(lt, lx, num_leapfrog, num_transitions, tile_b,
+                        rand, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    d = lt * lx
+
+    if interpret:
+        roll = functools.partial(jnp.roll, axis=1)
+    else:
+        def roll(a, k):
+            return pltpu.roll(a, k % d, axis=1)
+
+    def _body(seed_ref, scal_ref, x0_ref, x1_ref, rand_refs,
+              x0_out, x1_out, plaq_ref, prob_ref):
+        if rand == "prng":
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        eps = scal_ref[0]
+        beta = scal_ref[1]
+        s_col = (jax.lax.broadcasted_iota(jnp.int32, (tile_b, d), 1) % lx)
+
+        def step(t, carry):
+            x0, x1 = carry
+            if rand == "prng":
+                v0, _ = _normal_pair((tile_b, d))
+                v1, _ = _normal_pair((tile_b, d))
+                ubits = pltpu.bitcast(
+                    pltpu.prng_random_bits((tile_b, d)), jnp.uint32)
+                u = _uniform_from_bits(ubits)[:, 0]
+            else:
+                v0s_ref, v1s_ref, us_ref = rand_refs
+                v0 = v0s_ref[t]
+                v1 = v1s_ref[t]
+                u = us_ref[t]
+            x0, x1, prob, plaq = _transition_math(
+                x0, x1, v0, v1, u, eps, beta, num_leapfrog, lx, s_col, roll)
+            plaq_ref[t, :] = plaq
+            prob_ref[t, :] = prob
+            return (x0, x1)
+
+        x0, x1 = jax.lax.fori_loop(
+            0, num_transitions, step, (x0_ref[:], x1_ref[:]))
+        x0_out[:] = x0
+        x1_out[:] = x1
+
+    if rand == "prng":
+        def kernel(seed_ref, scal_ref, x0_ref, x1_ref,
+                   x0_out, x1_out, plaq_ref, prob_ref):
+            _body(seed_ref, scal_ref, x0_ref, x1_ref, None,
+                  x0_out, x1_out, plaq_ref, prob_ref)
+    else:
+        def kernel(seed_ref, scal_ref, x0_ref, x1_ref, v0s_ref, v1s_ref,
+                   us_ref, x0_out, x1_out, plaq_ref, prob_ref):
+            _body(seed_ref, scal_ref, x0_ref, x1_ref,
+                  (v0s_ref, v1s_ref, us_ref),
+                  x0_out, x1_out, plaq_ref, prob_ref)
+
+    state_spec = pl.BlockSpec((tile_b, d), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+    trace_spec = pl.BlockSpec((num_transitions, tile_b), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)
+    smem_seed = pl.BlockSpec(memory_space=pltpu.SMEM)
+    in_specs = [smem_seed, smem_seed, state_spec, state_spec]
+    if rand == "input":
+        rand_state = pl.BlockSpec((num_transitions, tile_b, d),
+                                  lambda i: (0, i, 0),
+                                  memory_space=pltpu.VMEM)
+        in_specs += [rand_state, rand_state, trace_spec]
+
+    def call(b, x0, x1, seed, scal, *rand_arrays):
+        return pl.pallas_call(
+            kernel,
+            interpret=interpret,
+            grid=(b // tile_b,),
+            in_specs=in_specs,
+            out_specs=(state_spec, state_spec, trace_spec, trace_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, d), jnp.float32),
+                jax.ShapeDtypeStruct((b, d), jnp.float32),
+                jax.ShapeDtypeStruct((num_transitions, b), jnp.float32),
+                jax.ShapeDtypeStruct((num_transitions, b), jnp.float32),
+            ),
+            # donate the chain state: in-place update saves HBM traffic and
+            # keeps XLA from allocating separate (promoted-to-VMEM) outputs
+            input_output_aliases={2: 0, 3: 1},
+        )(seed, scal, x0, x1, *rand_arrays)
+
+    return call
+
+
+@functools.lru_cache(maxsize=None)
+def _chain_kernel_for(lt, lx, num_leapfrog, num_transitions, tile_b,
+                      rand, interpret):
+    return _build_chain_kernel(lt, lx, num_leapfrog, num_transitions,
+                               tile_b, rand, interpret)
+
+
+def hmc_chain_pallas(
+    links: jax.Array,
+    key: jax.Array,
+    eps: float,
+    beta: float,
+    num_leapfrog: int,
+    num_transitions: int,
+    tile_b: int = 0,
+    interpret: bool = False,
+    rand_arrays: Tuple[jax.Array, jax.Array, jax.Array] | None = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Run ``num_transitions`` fused U(1) HMC transitions on-chip.
+
+    ``links (B, Lt, Lx, 2)`` float32 angles.  Returns
+    ``(links_out, plaq_trace (N, B), prob_trace (N, B))`` where the plaquette
+    trace is the per-chain average plaquette of each transition's OUTPUT
+    state (free: the accept step already holds pot(x_out)).
+
+    ``rand_arrays=(v0s, v1s, us)`` switches to injected randomness
+    (exactness tests vs :func:`hmc_chain_reference`); default draws momenta
+    and accept uniforms with the in-kernel PRNG seeded from ``key``.
+    """
+    b, lt, lx, _ = links.shape
+    d = lt * lx
+    if tile_b <= 0:
+        # VMEM residents per tile_b row: ~8 temporaries + 2 in + 2 out
+        # (tile_b, d) state buffers (I/O double-buffered: x2) and the two
+        # (N, tile_b) trace blocks (also double-buffered).  Budget ~12 MB
+        # of the 16 MB VMEM.  The trace blocks make tile_b a lane dim, so
+        # it must be a multiple of 128 (or the full batch) for Mosaic.
+        per_row = 4 * (16 * d + 4 * num_transitions)
+        tile_b = max(8, min(b, (8 << 20) // per_row))
+        if tile_b < b:
+            tile_b = max(128, (tile_b // 128) * 128)
+    while b % tile_b != 0 and tile_b > 1:
+        tile_b -= 1
+
+    rand = "input" if rand_arrays is not None else "prng"
+    call = _chain_kernel_for(lt, lx, num_leapfrog, num_transitions, tile_b,
+                             rand, interpret)
+
+    x0 = links[..., 0].reshape(b, d).astype(jnp.float32)
+    x1 = links[..., 1].reshape(b, d).astype(jnp.float32)
+    seed = jnp.asarray(
+        jax.random.randint(key, (1,), 0, np.iinfo(np.int32).max), jnp.int32)
+    scal = jnp.asarray([eps, beta], jnp.float32)
+    extra = ()
+    if rand == "input":
+        v0s, v1s, us = rand_arrays
+        extra = (v0s.astype(jnp.float32), v1s.astype(jnp.float32),
+                 us.astype(jnp.float32))
+    x0, x1, plaqs, probs = call(b, x0, x1, seed, scal, *extra)
+    out = jnp.stack([x0.reshape(b, lt, lx), x1.reshape(b, lt, lx)], axis=-1)
+    return out, plaqs, probs
