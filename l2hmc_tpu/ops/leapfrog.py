@@ -329,6 +329,16 @@ def hmc_chain_pallas(
             tile_b = max(128, (tile_b // 128) * 128)
     while b % tile_b != 0 and tile_b > 1:
         tile_b -= 1
+    # VMEM feasibility: the Mosaic trace blocks force tile_b >= 128 when
+    # b > tile_b, so very large lattices / long traces can exceed the
+    # ~16 MB budget.  Callers (hmc_chain_u1_fused) catch this and fall
+    # back to the XLA scan path.
+    est = tile_b * 4 * (16 * d + 4 * num_transitions)
+    if est > (14 << 20):
+        raise ValueError(
+            f"fused leapfrog chain would need ~{est >> 20} MB of VMEM "
+            f"(tile_b={tile_b}, d={d}, N={num_transitions}); shrink "
+            f"num_transitions per call or use the XLA path")
 
     rand = "input" if rand_arrays is not None else "prng"
     call = _chain_kernel_for(lt, lx, num_leapfrog, num_transitions, tile_b,
