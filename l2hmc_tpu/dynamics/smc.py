@@ -128,6 +128,31 @@ def make_u1_hmc_move(potential_fn, wrap_fn, num_plaquettes: int,
     return move
 
 
+def make_u1_fused_move(shape, leapfrog: int, moves_per_rung: int):
+    """SMC move on the fused Pallas leapfrog-chain kernel
+    (``ops/leapfrog.py``): all ``moves_per_rung`` HMC transitions of a rung
+    run inside ONE kernel with the particle state VMEM-resident (measured
+    2x the XLA scan form — RESULTS.md).  Same volume-scaled step rule as
+    :func:`make_u1_hmc_move`; ``beta``/``eps`` are runtime scalars, so the
+    kernel compiles once for the whole ladder scan.  TPU-only (in-kernel
+    PRNG has no CPU lowering); replicated particles only — the sharded
+    config-5 population path keeps the XLA move (a ``pallas_call`` does
+    not auto-partition under GSPMD).
+    """
+    from l2hmc_tpu.ops.leapfrog import hmc_chain_pallas
+
+    eps_scale = (64.0 / shape.num_plaquettes) ** 0.25
+
+    def move(x, b, k, _):
+        links = x.reshape(x.shape[0], shape.time_size, shape.space_size, 2)
+        links, _, _ = hmc_chain_pallas(
+            links, k, eps_scale * 0.4 / jnp.sqrt(b), b, leapfrog,
+            moves_per_rung)
+        return links.reshape(x.shape)
+
+    return move
+
+
 def u1_log_z_exact_factorized(num_plaquettes: int, beta_init, beta_final):
     """Analytic anchor: per-plaquette ``log[I0(b1)e^{-b1} / I0(b0)e^{-b0}]``
     times the plaquette count (2-D U(1) factorizes up to the global charge
