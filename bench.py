@@ -198,15 +198,19 @@ def main():
     from l2hmc_tpu.analysis import stats as _stats
     from l2hmc_tpu.dynamics.hmc import hmc_chain_u1_fused
 
-    # eps=0.10 measured ESS-optimal for 3-step HMC at 16x16 beta=4
-    # (sweep over {0.08..0.175}: acc 0.76, ess_ratio 0.177 — RESULTS.md)
+    # (K=5, eps=0.08) measured ESS/s-optimal over the joint (K, eps) grid
+    # at 16x16 beta=4 (benchmarks/hmc_ess_sweep.py: 3.99M eff samples/s vs
+    # 3.18M for K=3 eps=0.10 at equal record length — RESULTS.md; longer
+    # trajectories decorrelate faster than their 1/K cost up to the
+    # trajectory-length resonance at eps*K ~ 0.6)
     ess_chains = 2048
+    ess_leapfrog, ess_eps = 5, 0.08
     links = jnp.zeros((ess_chains, cfg.time_size, cfg.space_size, 2))
 
     @jax.jit
     def record(links, key):
         links, pl_tr, _ = hmc_chain_u1_fused(
-            links, key, 0.10, 4.0, cfg.num_steps, 500)
+            links, key, ess_eps, 4.0, ess_leapfrog, 500)
         # 16-chain trace slice for the ESS estimate + a scalar drain digest;
         # everything else stays on-device (no eager ops in the timed loop —
         # on the axon tunnel every eager dispatch is a network round-trip)
@@ -249,7 +253,8 @@ def main():
         "accept_prob_untrained": round(acc, 4),
         "plaq_ess_per_s": round(ess_per_s, 1),
         "plaq_ess_ratio_hmc": round(ess_ratio, 5),
-        "plaq_ess_kernel": f"pallas_fused_hmc_chain@{ess_chains}",
+        "plaq_ess_kernel": (f"pallas_fused_hmc_chain@{ess_chains} "
+                            f"K={ess_leapfrog} eps={ess_eps}"),
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
         **roofline,
