@@ -192,7 +192,7 @@ def main():
 
     # ESS/s of the average plaquette: plain-HMC baseline (well-defined
     # without a trained checkpoint) on the fused Pallas leapfrog-chain
-    # kernel (ops/leapfrog.py: whole chain VMEM-resident, measured 2x the
+    # kernel (ops/leapfrog.py: whole chain VMEM-resident, measured 2.5x the
     # XLA scan form at this batch), thermalized chains, 1500 recorded
     # transitions at the throughput-optimal 2048-chain batch.
     from l2hmc_tpu.analysis import stats as _stats

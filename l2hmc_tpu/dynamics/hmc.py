@@ -79,7 +79,7 @@ def hmc_chain_u1_fused(
 
     ``links (B, Lt, Lx, 2)`` angles.  Returns ``(links_out, plaq_trace
     (T, B), accept_probs (T, B))`` — the whole chain runs inside ONE
-    kernel with the state VMEM-resident (``ops/leapfrog.py``; measured 2x
+    kernel with the state VMEM-resident (``ops/leapfrog.py``; measured 2.5x
     the XLA scan form at 2048 chains on the v5e).  Falls back to the XLA
     scan off-TPU.
     """

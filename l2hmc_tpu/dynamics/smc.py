@@ -132,7 +132,7 @@ def make_u1_fused_move(shape, leapfrog: int, moves_per_rung: int):
     """SMC move on the fused Pallas leapfrog-chain kernel
     (``ops/leapfrog.py``): all ``moves_per_rung`` HMC transitions of a rung
     run inside ONE kernel with the particle state VMEM-resident (measured
-    2x the XLA scan form — RESULTS.md).  Same volume-scaled step rule as
+    2.5x the XLA scan form — RESULTS.md).  Same volume-scaled step rule as
     :func:`make_u1_hmc_move`; ``beta``/``eps`` are runtime scalars, so the
     kernel compiles once for the whole ladder scan.  TPU-only (in-kernel
     PRNG has no CPU lowering); replicated particles only — the sharded

@@ -92,33 +92,42 @@ def _wrap(x):
     return x - _TWO_PI * jnp.floor((x + np.pi) / _TWO_PI)
 
 
+def _potential_and_sinp(y0, y1, lx, s_col, roll):
+    p = _plaq_flat(y0, y1, lx, s_col, roll)
+    return jnp.sum(1.0 - jnp.cos(p), axis=1), jnp.sin(p)
+
+
 def _transition_math(x0, x1, v0, v1, u, eps, beta, num_leapfrog, lx,
-                     s_col, roll):
+                     s_col, roll, pot0=None, sinp=None):
     """One full HMC transition on flat link arrays; pure function of its
     inputs, usable inside the kernel and in the pure-JAX reference twin.
 
-    Returns ``(x0', x1', accept_prob, avg_plaq_of_output)``.
+    ``pot0``/``sinp`` optionally inject the potential and plaquette-sine
+    field of the INPUT state (both are in hand at the end of the previous
+    transition's accept step — carrying them saves one of the K+1
+    plaquette+trig evaluations per transition; the carried values are
+    bit-identical to recomputation, they were produced by the same ops at
+    the same point).
+
+    Returns ``(x0', x1', accept_prob, avg_plaq_of_output, pot_out,
+    sinp_out)``.
     """
     n_plaq = x0.shape[1]
 
-    def potential_and_sinp(y0, y1):
-        p = _plaq_flat(y0, y1, lx, s_col, roll)
-        pot = jnp.sum(1.0 - jnp.cos(p), axis=1)
-        return pot, jnp.sin(p)
-
-    pot0, sinp = potential_and_sinp(x0, x1)
+    if pot0 is None:
+        pot0, sinp = _potential_and_sinp(x0, x1, lx, s_col, roll)
     ke0 = 0.5 * (jnp.sum(v0 * v0, axis=1) + jnp.sum(v1 * v1, axis=1))
 
     g0, g1 = _grad_flat(sinp, lx, s_col, roll)
     w0 = v0 - 0.5 * eps * beta * g0
     w1 = v1 - 0.5 * eps * beta * g1
     y0, y1 = x0, x1
-    pot1 = pot0  # overwritten in the loop
+    pot1, sinp1 = pot0, sinp  # overwritten in the loop
     for k in range(num_leapfrog):
         y0 = _wrap(y0 + eps * w0)
         y1 = _wrap(y1 + eps * w1)
-        pot1, sinp = potential_and_sinp(y0, y1)
-        g0, g1 = _grad_flat(sinp, lx, s_col, roll)
+        pot1, sinp1 = _potential_and_sinp(y0, y1, lx, s_col, roll)
+        g0, g1 = _grad_flat(sinp1, lx, s_col, roll)
         c = eps if k < num_leapfrog - 1 else 0.5 * eps
         w0 = w0 - c * beta * g0
         w1 = w1 - c * beta * g1
@@ -132,10 +141,11 @@ def _transition_math(x0, x1, v0, v1, u, eps, beta, num_leapfrog, lx,
     acc_col = acc[:, None]
     x0 = acc_col * y0 + (1.0 - acc_col) * x0
     x1 = acc_col * y1 + (1.0 - acc_col) * x1
-    # avg plaquette of the OUTPUT state: pot(x_out) is already in hand
+    # output state's potential and sine field: both already in hand
     pot_out = acc * pot1 + (1.0 - acc) * pot0
+    sinp_out = acc_col * sinp1 + (1.0 - acc_col) * sinp
     avg_plaq = 1.0 - pot_out / n_plaq
-    return x0, x1, prob, avg_plaq
+    return x0, x1, prob, avg_plaq, pot_out, sinp_out
 
 
 # ---------------------------------------------------------------------------
@@ -156,14 +166,18 @@ def hmc_chain_reference(links, v0s, v1s, us, eps, beta, num_leapfrog):
     x0 = links[..., 0].reshape(b, d)
     x1 = links[..., 1].reshape(b, d)
 
-    def body(carry, rand):
-        x0, x1 = carry
-        v0, v1, u = rand
-        x0, x1, prob, plaq = _transition_math(
-            x0, x1, v0, v1, u, eps, beta, num_leapfrog, lx, s_col, roll)
-        return (x0, x1), (plaq, prob)
+    pot, sinp = _potential_and_sinp(x0, x1, lx, s_col, roll)
 
-    (x0, x1), (plaqs, probs) = jax.lax.scan(body, (x0, x1), (v0s, v1s, us))
+    def body(carry, rand):
+        x0, x1, pot, sinp = carry
+        v0, v1, u = rand
+        x0, x1, prob, plaq, pot, sinp = _transition_math(
+            x0, x1, v0, v1, u, eps, beta, num_leapfrog, lx, s_col, roll,
+            pot0=pot, sinp=sinp)
+        return (x0, x1, pot, sinp), (plaq, prob)
+
+    (x0, x1, _, _), (plaqs, probs) = jax.lax.scan(
+        body, (x0, x1, pot, sinp), (v0s, v1s, us))
     out = jnp.stack([x0.reshape(b, lt, lx), x1.reshape(b, lt, lx)], axis=-1)
     return out, plaqs, probs
 
@@ -184,8 +198,8 @@ def _uniform_from_bits(bits):
 
 
 def _normal_pair(shape):
-    """Box-Muller normals from the in-kernel PRNG (one draw pair -> one
-    normal array; the sin half of an independent pair decorrelates arrays)."""
+    """Box-Muller normals from the in-kernel PRNG: one uniform pair yields
+    TWO exactly independent standard-normal arrays (cos and sin halves)."""
     from jax.experimental.pallas import tpu as pltpu
 
     b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
@@ -218,10 +232,14 @@ def _build_chain_kernel(lt, lx, num_leapfrog, num_transitions, tile_b,
         s_col = (jax.lax.broadcasted_iota(jnp.int32, (tile_b, d), 1) % lx)
 
         def step(t, carry):
-            x0, x1 = carry
+            # pot is carried as (tile_b, 1): Mosaic cannot lay out rank-1
+            # arrays in a fori_loop carry (layout_rank check failure)
+            x0, x1, pot2, sinp = carry
             if rand == "prng":
-                v0, _ = _normal_pair((tile_b, d))
-                v1, _ = _normal_pair((tile_b, d))
+                # Box-Muller cos/sin halves of ONE pair are exactly
+                # independent standard normals — one pair serves both
+                # momentum arrays
+                v0, v1 = _normal_pair((tile_b, d))
                 ubits = pltpu.bitcast(
                     pltpu.prng_random_bits((tile_b, d)), jnp.uint32)
                 u = _uniform_from_bits(ubits)[:, 0]
@@ -230,14 +248,18 @@ def _build_chain_kernel(lt, lx, num_leapfrog, num_transitions, tile_b,
                 v0 = v0s_ref[t]
                 v1 = v1s_ref[t]
                 u = us_ref[t]
-            x0, x1, prob, plaq = _transition_math(
-                x0, x1, v0, v1, u, eps, beta, num_leapfrog, lx, s_col, roll)
+            x0, x1, prob, plaq, pot, sinp = _transition_math(
+                x0, x1, v0, v1, u, eps, beta, num_leapfrog, lx, s_col, roll,
+                pot0=pot2[:, 0], sinp=sinp)
             plaq_ref[t, :] = plaq
             prob_ref[t, :] = prob
-            return (x0, x1)
+            return (x0, x1, pot[:, None], sinp)
 
-        x0, x1 = jax.lax.fori_loop(
-            0, num_transitions, step, (x0_ref[:], x1_ref[:]))
+        pot0, sinp0 = _potential_and_sinp(x0_ref[:], x1_ref[:], lx, s_col,
+                                          roll)
+        x0, x1, _, _ = jax.lax.fori_loop(
+            0, num_transitions, step,
+            (x0_ref[:], x1_ref[:], pot0[:, None], sinp0))
         x0_out[:] = x0
         x1_out[:] = x1
 
@@ -318,12 +340,13 @@ def hmc_chain_pallas(
     b, lt, lx, _ = links.shape
     d = lt * lx
     if tile_b <= 0:
-        # VMEM residents per tile_b row: ~8 temporaries + 2 in + 2 out
-        # (tile_b, d) state buffers (I/O double-buffered: x2) and the two
-        # (N, tile_b) trace blocks (also double-buffered).  Budget ~12 MB
-        # of the 16 MB VMEM.  The trace blocks make tile_b a lane dim, so
-        # it must be a multiple of 128 (or the full batch) for Mosaic.
-        per_row = 4 * (16 * d + 4 * num_transitions)
+        # VMEM residents per tile_b row: ~9 temporaries (incl. the carried
+        # sine field) + 2 in + 2 out (tile_b, d) state buffers (I/O
+        # double-buffered: x2) and the two (N, tile_b) trace blocks (also
+        # double-buffered).  Budget ~12 MB of the 16 MB VMEM.  The trace
+        # blocks make tile_b a lane dim, so it must be a multiple of 128
+        # (or the full batch) for Mosaic.
+        per_row = 4 * (17 * d + 4 * num_transitions)
         tile_b = max(8, min(b, (8 << 20) // per_row))
         if tile_b < b:
             tile_b = max(128, (tile_b // 128) * 128)
@@ -333,7 +356,7 @@ def hmc_chain_pallas(
     # b > tile_b, so very large lattices / long traces can exceed the
     # ~16 MB budget.  Callers (hmc_chain_u1_fused) catch this and fall
     # back to the XLA scan path.
-    est = tile_b * 4 * (16 * d + 4 * num_transitions)
+    est = tile_b * 4 * (17 * d + 4 * num_transitions)
     if est > (14 << 20):
         raise ValueError(
             f"fused leapfrog chain would need ~{est >> 20} MB of VMEM "
