@@ -1,0 +1,245 @@
+"""Gauge-equivariant normalizing-flow sampler for 2-D U(1) lattice gauge theory.
+
+Beyond the reference (which has no flow models): the plaquette-coupling
+flow of Kanwar et al. (arXiv:2003.06413 / the MLMC line in PAPERS.md),
+built TPU-first — periodic convolutions for the conditioners (MXU), purely
+elementwise circular diffeomorphisms for the transforms (VPU), forward-only
+evaluation (sampling, reverse-KL training, independence-Metropolis and
+importance reweighting never need the inverse), everything jit/scan-friendly
+with static shapes.
+
+Construction (exactly invertible, exactly gauge-equivariant):
+
+- A coupling layer picks an "active" stripe of plaquettes
+  ``x ≡ k (mod 4)`` (or ``t ≡ k (mod 4)``), transforms each active
+  plaquette angle ``P -> h(P | ctx)`` with a mixture-of-NCP circle
+  diffeomorphism, and realizes the change on ONE link of each active
+  plaquette: ``U0(t,x) += h(P)-P`` (stripes in x, using the plaquette
+  convention ``P(t,x) = U0(t,x) - U1(t,x) - U0(t,x+1) + U1(t+1,x)``,
+  ``lattice/u1.py plaq_sums``), or ``U1(t,x) -= h(P)-P`` (stripes in t).
+- The updated link also sits in the neighboring "side-effect" plaquette
+  (stripe ``k-1``), which is neither active nor conditioning, so the
+  Jacobian on link space is triangular with diagonal ``h'(P)`` on the
+  updated links: ``logdet = sum_active log h'(P)``.
+- The conditioner sees only gauge-invariant features ``(cos P, sin P)``
+  of the context stripes ``k+1, k+2`` (masked to zero elsewhere), through
+  a 2-layer periodic CNN whose last layer is zero-initialized — the flow
+  starts exactly at the identity.
+- NCP ("non-compact projection") kernel: ``phi -> 2 atan(e^s tan(phi/2))``
+  evaluated in the atan2 form ``2 atan2(e^s sin(phi/2), cos(phi/2))``
+  (stable at ±pi), fixing ±pi with derivative
+  ``e^s / (cos^2(phi/2) + e^{2s} sin^2(phi/2))``.  A convex mixture of
+  NCPs is again a circle diffeomorphism fixing ±pi; a learned per-site
+  rotation follows (derivative 1).
+
+The base density is uniform on links (the beta=0 theory), so the model
+density ``q`` is gauge-invariant by construction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from l2hmc_tpu.lattice import u1
+from l2hmc_tpu.networks.nets import _conv_init, _conv2d_periodic
+
+_TWO_PI = 2.0 * np.pi
+
+
+# ---------------------------------------------------------------------------
+# Circle diffeomorphism: mixture of NCPs + rotation.
+# ---------------------------------------------------------------------------
+
+
+def ncp_mixture(phi: jax.Array, scales: jax.Array, logits: jax.Array,
+                offset: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """``phi (...,)`` angles; ``scales/logits (..., n_mix)``; ``offset (...,)``.
+
+    Returns ``(phi_out, log_deriv)`` with ``phi_out`` wrapped to (-pi, pi].
+    """
+    half = 0.5 * phi[..., None]
+    s, c = jnp.sin(half), jnp.cos(half)
+    es = jnp.exp(scales)
+    ncp = 2.0 * jnp.arctan2(es * s, c)
+    # derivative of each component: e^s / (cos^2 + e^{2s} sin^2)
+    denom = c * c + es * es * s * s
+    w = jax.nn.softmax(logits, axis=-1)
+    out = jnp.sum(w * ncp, axis=-1)
+    deriv = jnp.sum(w * es / denom, axis=-1)
+    return u1.wrap(out + offset), jnp.log(deriv)
+
+
+# ---------------------------------------------------------------------------
+# Coupling layers.
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class FlowConfig:
+    time_size: int = 8
+    space_size: int = 8
+    num_layers: int = 16          # multiple of 8: 4 offsets x 2 orientations
+    n_mix: int = 6                # NCP mixture components
+    hidden_channels: int = 32     # conditioner CNN width
+    kernel_size: int = 3
+
+    @property
+    def shape(self) -> u1.LatticeShape:
+        return u1.LatticeShape(self.time_size, self.space_size)
+
+    @property
+    def layer_plan(self):
+        """Layer i: (axis, offset) — axis 1 = stripes in x (update U0),
+        axis 0 = stripes in t (update U1).  Offsets rotate 0..3."""
+        plan = []
+        for i in range(self.num_layers):
+            axis = 1 if (i // 4) % 2 == 0 else 0
+            plan.append((axis, i % 4))
+        return tuple(plan)
+
+
+def _stripe_masks(lt: int, lx: int, axis: int, offset: int):
+    """(active, context) 0/1 masks of shape (Lt, Lx) for stripe period 4.
+
+    The side-effect stripe (offset-1) and the active stripe are excluded
+    from the context; stripes offset+1 and offset+2 condition.
+    """
+    idx = jnp.arange(lt)[:, None] if axis == 0 else jnp.arange(lx)[None, :]
+    pos = jnp.broadcast_to(idx % 4, (lt, lx))
+    active = (pos == offset).astype(jnp.float32)
+    ctx = ((pos == (offset + 1) % 4) | (pos == (offset + 2) % 4)).astype(
+        jnp.float32)
+    return active, ctx
+
+
+def init_flow(key: jax.Array, cfg: FlowConfig):
+    """Per-layer conditioner params.  Output conv zero-init -> identity flow."""
+    params = []
+    out_ch = 2 * cfg.n_mix + 1
+    for _ in range(cfg.num_layers):
+        key, k1, k2 = jax.random.split(key, 3)
+        c1 = _conv_init(k1, cfg.kernel_size, cfg.kernel_size, 2,
+                        cfg.hidden_channels)
+        c2 = _conv_init(k2, cfg.kernel_size, cfg.kernel_size,
+                        cfg.hidden_channels, out_ch)
+        c2 = {"w": jnp.zeros_like(c2["w"]), "b": c2["b"]}
+        params.append({"c1": c1, "c2": c2})
+    return params
+
+
+def _coupling_forward(layer_params, links: jax.Array, axis: int,
+                      offset: int, cfg: FlowConfig):
+    """One coupling layer on ``links (B, Lt, Lx, 2)``.
+
+    Returns ``(links_out, logdet (B,))``.
+    """
+    lt, lx = cfg.time_size, cfg.space_size
+    active, ctx = _stripe_masks(lt, lx, axis, offset)
+
+    p = u1.plaq_sums(links)                       # (B, Lt, Lx)
+    feats = jnp.stack([jnp.cos(p), jnp.sin(p)], axis=-1) * ctx[..., None]
+    h = jax.nn.gelu(_conv2d_periodic(layer_params["c1"], feats))
+    out = _conv2d_periodic(layer_params["c2"], h)  # (B, Lt, Lx, 2*n_mix+1)
+
+    scales = out[..., :cfg.n_mix]
+    logits = out[..., cfg.n_mix:2 * cfg.n_mix]
+    t_off = out[..., -1]
+
+    p_new, log_deriv = ncp_mixture(p, scales, logits, t_off)
+    delta = (u1.wrap(p_new - p)) * active          # only active sites move
+    logdet = jnp.sum(log_deriv * active, axis=(-2, -1))
+
+    u0, u1_ = links[..., 0], links[..., 1]
+    if axis == 1:       # stripes in x: realize on U0 (coefficient +1 in P)
+        u0 = u0 + delta
+    else:               # stripes in t: realize on U1 (coefficient -1 in P)
+        u1_ = u1_ - delta
+    links = jnp.stack([u1.wrap(u0), u1.wrap(u1_)], axis=-1)
+    return links, logdet
+
+
+def flow_forward(params, links: jax.Array, cfg: FlowConfig):
+    """Push ``links (B, Lt, Lx, 2)`` through all layers.
+
+    Returns ``(links_out, logdet (B,))`` — logdet of d(out)/d(in).
+    """
+    logdet = jnp.zeros(links.shape[0])
+    for lp, (axis, offset) in zip(params, cfg.layer_plan):
+        links, ld = _coupling_forward(lp, links, axis, offset, cfg)
+        logdet = logdet + ld
+    return links, logdet
+
+
+# ---------------------------------------------------------------------------
+# Density, training, sampling.
+# ---------------------------------------------------------------------------
+
+
+def sample_and_logq(params, key: jax.Array, batch: int, cfg: FlowConfig):
+    """Draw ``batch`` configurations and their model log-density.
+
+    ``log q(x) = log q0(z) - logdet`` with uniform base
+    ``log q0 = -num_links log 2pi``.
+    """
+    z = jax.random.uniform(key, (batch, cfg.time_size, cfg.space_size, 2),
+                           minval=-np.pi, maxval=np.pi)
+    x, logdet = flow_forward(params, z, cfg)
+    logq0 = -cfg.shape.num_links * np.log(_TWO_PI)
+    return x, logq0 - logdet
+
+
+def reverse_kl_loss(params, key: jax.Array, batch: int, beta,
+                    cfg: FlowConfig):
+    """``E_q[log q + beta S]`` (reverse KL up to log Z) and diagnostics."""
+    x, logq = sample_and_logq(params, key, batch, cfg)
+    logp = -beta * u1.wilson_action(x)            # unnormalized
+    loss = jnp.mean(logq - logp)
+    logw = jax.lax.stop_gradient(logp - logq)
+    ess = jnp.exp(2 * jax.scipy.special.logsumexp(logw)
+                  - jax.scipy.special.logsumexp(2 * logw)) / batch
+    return loss, {"loss": loss, "ess_frac": ess,
+                  "plaq": jnp.mean(u1.avg_plaquette(x))}
+
+
+def importance_weights(params, key: jax.Array, batch: int, beta,
+                       cfg: FlowConfig):
+    """Samples + self-normalized log-weights for reweighted observables."""
+    x, logq = sample_and_logq(params, key, batch, cfg)
+    logw = -beta * u1.wilson_action(x) - logq
+    return x, logw - jax.scipy.special.logsumexp(logw)
+
+
+def independence_mh_chain(params, key: jax.Array, x0: jax.Array,
+                          logq0: jax.Array, beta, num_steps: int,
+                          cfg: FlowConfig):
+    """Flow-proposal independence Metropolis (Albergo et al. 1904.12072).
+
+    ``x0 (B, Lt, Lx, 2)`` with its model log-density ``logq0 (B,)`` (e.g.
+    from :func:`sample_and_logq`).  Accept ``x'`` with
+    ``min(1, [p(x') q(x)] / [p(x) q(x')])``; only forward evaluations.
+
+    Returns ``(x_final, plaq_trace (T, B), accept_trace (T, B))``.
+    """
+
+    def body(carry, k):
+        x, logq, logp = carry
+        kp, ka = jax.random.split(k)
+        xp, logqp = sample_and_logq(params, kp, x.shape[0], cfg)
+        logpp = -beta * u1.wilson_action(xp)
+        log_acc = (logpp - logp) + (logq - logqp)
+        acc = (jnp.log(jax.random.uniform(ka, log_acc.shape)) < log_acc)
+        accf = acc.astype(x.dtype)
+        x = jnp.where(acc[:, None, None, None], xp, x)
+        logq = jnp.where(acc, logqp, logq)
+        logp = jnp.where(acc, logpp, logp)
+        return (x, logq, logp), (u1.avg_plaquette(x), accf)
+
+    logp0 = -beta * u1.wilson_action(x0)
+    keys = jax.random.split(key, num_steps)
+    (x, _, _), (plaqs, accs) = jax.lax.scan(body, (x0, logq0, logp0), keys)
+    return x, plaqs, accs

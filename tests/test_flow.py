@@ -1,0 +1,132 @@
+"""Gauge-equivariant normalizing flow (dynamics/flow.py) property tests.
+
+Exactness properties the construction guarantees: triangular Jacobian
+(accumulated logdet == autodiff slogdet on link space), identity at init,
+exact gauge equivariance, uniform-target exactness of the independence-MH
+chain, and reverse-KL training improving the importance-weight ESS.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from l2hmc_tpu.dynamics import flow as F
+from l2hmc_tpu.lattice import u1
+
+
+def _cfg(**kw):
+    d = dict(time_size=4, space_size=4, num_layers=8, n_mix=3,
+             hidden_channels=8)
+    d.update(kw)
+    return F.FlowConfig(**d)
+
+
+def _randomized_params(key, cfg):
+    """init_flow zero-inits the output conv (identity flow); perturb it so
+    the flow is non-trivial for the Jacobian/equivariance checks."""
+    params = F.init_flow(key, cfg)
+    for i, p in enumerate(params):
+        key, k = jax.random.split(key)
+        p["c2"]["w"] = 0.3 * jax.random.normal(k, p["c2"]["w"].shape)
+    return params
+
+
+def test_identity_at_init(key):
+    cfg = _cfg()
+    params = F.init_flow(key, cfg)
+    z = jax.random.uniform(key, (3, 4, 4, 2), minval=-np.pi, maxval=np.pi)
+    x, logdet = F.flow_forward(params, z, cfg)
+    np.testing.assert_allclose(x, z, atol=1e-6)
+    np.testing.assert_allclose(logdet, 0.0, atol=1e-6)
+
+
+def test_logdet_matches_autodiff_jacobian(key):
+    cfg = _cfg()
+    params = _randomized_params(key, cfg)
+
+    def flat_flow(zf):
+        x, _ = F.flow_forward(params, zf.reshape(1, 4, 4, 2), cfg)
+        return x.reshape(-1)
+
+    z = jax.random.uniform(key, (32,), minval=-np.pi, maxval=np.pi)
+    jac = jax.jacfwd(flat_flow)(z)
+    sign, logabsdet = np.linalg.slogdet(np.asarray(jac))
+    _, logdet = F.flow_forward(params, z.reshape(1, 4, 4, 2), cfg)
+    assert sign == 1.0
+    np.testing.assert_allclose(float(logdet[0]), logabsdet, atol=1e-4)
+
+
+def test_gauge_equivariance(key):
+    cfg = _cfg(time_size=4, space_size=8)
+    params = _randomized_params(key, cfg)
+    kz, kg = jax.random.split(key)
+    z = jax.random.uniform(kz, (2, 4, 8, 2), minval=-np.pi, maxval=np.pi)
+    g = jax.random.uniform(kg, (4, 8), minval=-np.pi, maxval=np.pi)
+
+    # U(1) gauge transform: u0(t,x) += g(t,x) - g(t+1,x);
+    # u1(t,x) += g(t,x) - g(t,x+1)  (plaq_sums invariant by construction)
+    u0 = z[..., 0] + g - jnp.roll(g, -1, axis=0)
+    u1_ = z[..., 1] + g - jnp.roll(g, -1, axis=1)
+    zg = u1.wrap(jnp.stack([u0, u1_], axis=-1))
+    np.testing.assert_allclose(u1.plaq_sums(zg) % (2 * np.pi),
+                               u1.plaq_sums(z) % (2 * np.pi), atol=1e-4)
+
+    x, logdet = F.flow_forward(params, z, cfg)
+    xg, logdetg = F.flow_forward(params, zg, cfg)
+    # densities (logdets) identical; outputs identical up to the SAME
+    # gauge transformation, so plaquette fields match exactly
+    np.testing.assert_allclose(logdet, logdetg, atol=1e-4)
+    np.testing.assert_allclose(
+        np.cos(u1.plaq_sums(xg)), np.cos(u1.plaq_sums(x)), atol=1e-4)
+
+
+def test_independence_mh_uniform_target_accepts_everything(key):
+    """At beta=0 the target IS the base distribution and the identity flow
+    proposes exactly from it -> every MH step accepts with probability 1."""
+    cfg = _cfg()
+    params = F.init_flow(key, cfg)
+    k1, k2 = jax.random.split(key)
+    x0, logq0 = F.sample_and_logq(params, k1, 8, cfg)
+    _, _, accs = F.independence_mh_chain(params, k2, x0, logq0, 0.0, 20, cfg)
+    np.testing.assert_allclose(np.asarray(accs), 1.0, atol=1e-6)
+
+
+def test_reverse_kl_training_improves_ess(key):
+    import optax
+
+    cfg = _cfg(num_layers=8, hidden_channels=8, n_mix=3)
+    beta = 1.0
+    params = F.init_flow(key, cfg)
+    opt = optax.adam(5e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, k):
+        (_, aux), grads = jax.value_and_grad(
+            lambda p: F.reverse_kl_loss(p, k, 64, beta, cfg),
+            has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, aux
+
+    k = key
+    _, aux0 = F.reverse_kl_loss(params, k, 256, beta, cfg)
+    for i in range(150):
+        k, sub = jax.random.split(k)
+        params, opt_state, aux = step(params, opt_state, sub)
+    k, sub = jax.random.split(k)
+    _, aux1 = F.reverse_kl_loss(params, sub, 256, beta, cfg)
+    assert float(aux1["ess_frac"]) > float(aux0["ess_frac"]) * 1.5, (
+        float(aux0["ess_frac"]), float(aux1["ess_frac"]))
+    assert float(aux1["loss"]) < float(aux0["loss"])
+
+
+def test_reweighted_plaquette_on_oracle(key):
+    """Even the UNTRAINED (identity) flow gives an unbiased self-normalized
+    importance estimate of the plaquette at small beta/volume."""
+    cfg = _cfg()
+    params = F.init_flow(key, cfg)
+    x, log_w = F.importance_weights(params, key, 4096, 0.5, cfg)
+    plaq = float(jnp.sum(jnp.exp(log_w) * u1.avg_plaquette(x)))
+    exact = float(u1.u1_plaq_exact(0.5))
+    assert abs(plaq - exact) < 0.02, (plaq, exact)
