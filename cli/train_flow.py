@@ -59,6 +59,7 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
     import optax
+    from scipy.special import i0e as _i0e
 
     from l2hmc_tpu.dynamics import flow as F
     from l2hmc_tpu.lattice import u1
@@ -140,7 +141,7 @@ def main(argv=None):
 
     # ---- eval 1: importance-reweighted observables + weight ESS
     key, k1, k2, k3 = jax.random.split(key, 4)
-    x, log_w = jax.jit(
+    x, log_w, log_z = jax.jit(
         lambda k: F.importance_weights(params, k, args.eval_batch,
                                        args.beta, cfg))(k1)
     w = jnp.exp(log_w)
@@ -168,6 +169,13 @@ def main(argv=None):
             args.beta, cfg.shape.num_plaquettes)), 4),
         "mh_accept": round(float(jnp.mean(accs)), 4),
         "mh_plaq": round(float(jnp.mean(plaqs[therm:])), 5),
+        # direct log Z from the flow weights vs the factorized analytic
+        # value log Z = n_links log 2pi + n_plaq log(I0(beta) e^-beta)
+        # (exact up to the global-charge constraint; cf. dynamics/smc.py)
+        "log_z_flow": round(float(log_z), 2),
+        "log_z_exact_factorized": round(
+            cfg.shape.num_links * float(np.log(2 * np.pi))
+            + cfg.shape.num_plaquettes * float(np.log(_i0e(args.beta))), 2),
     }
     (run_dir / "summary.json").write_text(json.dumps(summary, indent=2))
     log(json.dumps(summary))

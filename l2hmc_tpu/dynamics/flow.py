@@ -208,10 +208,14 @@ def reverse_kl_loss(params, key: jax.Array, batch: int, beta,
 
 def importance_weights(params, key: jax.Array, batch: int, beta,
                        cfg: FlowConfig):
-    """Samples + self-normalized log-weights for reweighted observables."""
+    """Samples + self-normalized log-weights for reweighted observables,
+    plus the direct partition-function estimate
+    ``log Z = logmeanexp(-beta S - log q)`` (the flow's unique diagnostic:
+    kernel MCMC has no normalizer access; SMC only gets ratios)."""
     x, logq = sample_and_logq(params, key, batch, cfg)
     logw = -beta * u1.wilson_action(x) - logq
-    return x, logw - jax.scipy.special.logsumexp(logw)
+    log_z = jax.scipy.special.logsumexp(logw) - jnp.log(batch)
+    return x, logw - jax.scipy.special.logsumexp(logw), log_z
 
 
 def independence_mh_chain(params, key: jax.Array, x0: jax.Array,

@@ -126,7 +126,12 @@ def test_reweighted_plaquette_on_oracle(key):
     importance estimate of the plaquette at small beta/volume."""
     cfg = _cfg()
     params = F.init_flow(key, cfg)
-    x, log_w = F.importance_weights(params, key, 4096, 0.5, cfg)
+    x, log_w, log_z = F.importance_weights(params, key, 4096, 0.5, cfg)
     plaq = float(jnp.sum(jnp.exp(log_w) * u1.avg_plaquette(x)))
     exact = float(u1.u1_plaq_exact(0.5))
     assert abs(plaq - exact) < 0.02, (plaq, exact)
+    # direct log Z vs the factorized analytic value
+    from scipy.special import i0e
+    log_z_exact = (cfg.shape.num_links * np.log(2 * np.pi)
+                   + cfg.shape.num_plaquettes * np.log(i0e(0.5)))
+    assert abs(float(log_z) - log_z_exact) < 0.3, (float(log_z), log_z_exact)
