@@ -74,6 +74,44 @@ def ncp_mixture(phi: jax.Array, scales: jax.Array, logits: jax.Array,
     return u1.wrap(out + offset), jnp.log(deriv)
 
 
+def ncp_mixture_inverse(phi_out: jax.Array, scales: jax.Array,
+                        logits: jax.Array, offset: jax.Array,
+                        iters: int = 40) -> Tuple[jax.Array, jax.Array]:
+    """Invert :func:`ncp_mixture` by bisection (the mixture is strictly
+    increasing on (-pi, pi) with fixed endpoints; 40 halvings reach f32
+    resolution).  Returns ``(phi_in, log_deriv_at_phi_in)``.
+
+    The flow only needs the inverse for *density evaluation at arbitrary
+    states* (hybrid flow+HMC chains, forward-KL diagnostics) — sampling
+    and reverse-KL training stay forward-only.
+    """
+    half_w = jax.nn.softmax(logits, axis=-1)
+    es = jnp.exp(scales)
+
+    def h(phi):
+        half = 0.5 * phi[..., None]
+        s, c = jnp.sin(half), jnp.cos(half)
+        return jnp.sum(half_w * 2.0 * jnp.arctan2(es * s, c), axis=-1)
+
+    target = u1.wrap(phi_out - offset)
+
+    def body(carry, _):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        go_hi = h(mid) < target
+        return (jnp.where(go_hi, mid, lo), jnp.where(go_hi, hi, mid)), None
+
+    lo = jnp.full_like(target, -np.pi)
+    hi = jnp.full_like(target, np.pi)
+    (lo, hi), _ = jax.lax.scan(body, (lo, hi), None, length=iters)
+    phi_in = 0.5 * (lo + hi)
+    half = 0.5 * phi_in[..., None]
+    s, c = jnp.sin(half), jnp.cos(half)
+    denom = c * c + es * es * s * s
+    deriv = jnp.sum(half_w * es / denom, axis=-1)
+    return phi_in, jnp.log(deriv)
+
+
 # ---------------------------------------------------------------------------
 # Coupling layers.
 # ---------------------------------------------------------------------------
@@ -175,6 +213,63 @@ def flow_forward(params, links: jax.Array, cfg: FlowConfig):
     return links, logdet
 
 
+def _coupling_inverse(layer_params, links: jax.Array, axis: int,
+                      offset: int, cfg: FlowConfig):
+    """Invert one coupling layer.  The conditioner sees only context
+    stripes, which the layer does not touch, so its outputs are recomputed
+    identically from the layer's OUTPUT; the active plaquette angles are
+    inverted by bisection and the link shift subtracted.
+
+    Returns ``(links_in, logdet_inv (B,))`` with
+    ``logdet_inv = -sum_active log h'(P_in)``.
+    """
+    lt, lx = cfg.time_size, cfg.space_size
+    active, ctx = _stripe_masks(lt, lx, axis, offset)
+
+    p_out = u1.plaq_sums(links)
+    feats = jnp.stack([jnp.cos(p_out), jnp.sin(p_out)], axis=-1) * ctx[..., None]
+    h = jax.nn.gelu(_conv2d_periodic(layer_params["c1"], feats))
+    out = _conv2d_periodic(layer_params["c2"], h)
+
+    scales = out[..., :cfg.n_mix]
+    logits = out[..., cfg.n_mix:2 * cfg.n_mix]
+    t_off = out[..., -1]
+
+    p_in, log_deriv = ncp_mixture_inverse(u1.wrap(p_out), scales, logits,
+                                          t_off)
+    delta = u1.wrap(u1.wrap(p_out) - p_in) * active
+    logdet_inv = -jnp.sum(log_deriv * active, axis=(-2, -1))
+
+    u0, u1_ = links[..., 0], links[..., 1]
+    if axis == 1:
+        u0 = u0 - delta
+    else:
+        u1_ = u1_ + delta
+    links = jnp.stack([u1.wrap(u0), u1.wrap(u1_)], axis=-1)
+    return links, logdet_inv
+
+
+def flow_inverse(params, links: jax.Array, cfg: FlowConfig):
+    """Pull ``links`` back through all layers (reversed order).
+
+    Returns ``(z, logdet_inv (B,))``; ``flow_inverse(flow_forward(z)) == z``
+    to bisection tolerance (tested)."""
+    logdet_inv = jnp.zeros(links.shape[0])
+    for lp, (axis, offset) in zip(reversed(params),
+                                  reversed(cfg.layer_plan)):
+        links, ld = _coupling_inverse(lp, links, axis, offset, cfg)
+        logdet_inv = logdet_inv + ld
+    return links, logdet_inv
+
+
+def logq_of(params, links: jax.Array, cfg: FlowConfig) -> jax.Array:
+    """Model log-density at ARBITRARY states (via the numerical inverse):
+    ``log q(x) = log q0 + logdet_inv(x)``.  For flow-generated samples this
+    matches the logq returned by :func:`sample_and_logq` (tested)."""
+    _, logdet_inv = flow_inverse(params, links, cfg)
+    return -cfg.shape.num_links * np.log(_TWO_PI) + logdet_inv
+
+
 # ---------------------------------------------------------------------------
 # Density, training, sampling.
 # ---------------------------------------------------------------------------
@@ -247,3 +342,51 @@ def independence_mh_chain(params, key: jax.Array, x0: jax.Array,
     keys = jax.random.split(key, num_steps)
     (x, _, _), (plaqs, accs) = jax.lax.scan(body, (x0, logq0, logp0), keys)
     return x, plaqs, accs
+
+
+def flow_hmc_hybrid_chain(params, key: jax.Array, links0: jax.Array, beta,
+                          num_rounds: int, hmc_per_round: int, hmc_eps,
+                          hmc_leapfrog: int, cfg: FlowConfig):
+    """Hybrid kernel: each round runs ``hmc_per_round`` HMC transitions
+    (local moves, fast plaquette decorrelation) then ONE flow independence
+    proposal (global move — in particular a fresh topological sector).
+
+    The flow accept from an HMC-evolved state requires ``q`` at that state,
+    which is where :func:`flow_inverse` earns its keep — both the current
+    state's and the proposal's densities are exact, so the composite chain
+    is exactly p-stationary (each component kernel is).
+
+    Returns ``(links, q_trace (R, B), plaq_trace (R, B),
+    flow_accept (R, B), hmc_accept (R,))``.
+    """
+    from l2hmc_tpu.dynamics.hmc import hmc_transition
+
+    b, lt, lx, _ = links0.shape
+    shape = u1.LatticeShape(lt, lx)
+    pot = u1.make_potential_fn(shape)
+
+    def one_round(links, k):
+        kh, kp, ka = jax.random.split(k, 3)
+
+        def hmc_body(x, kk):
+            out = hmc_transition(pot, x, beta, kk, hmc_eps, hmc_leapfrog)
+            return u1.wrap(out.x_out), out.accept_prob
+
+        x, h_probs = jax.lax.scan(
+            lambda x, kk: hmc_body(x, kk), links.reshape(b, -1),
+            jax.random.split(kh, hmc_per_round))
+        links = x.reshape(b, lt, lx, 2)
+
+        xp, logqp = sample_and_logq(params, kp, b, cfg)
+        logq = logq_of(params, links, cfg)
+        log_acc = (-beta * u1.wilson_action(xp) + beta * u1.wilson_action(links)
+                   + logq - logqp)
+        acc = jnp.log(jax.random.uniform(ka, (b,))) < log_acc
+        links = jnp.where(acc[:, None, None, None], xp, links)
+        return links, (u1.topological_charge(links),
+                       u1.avg_plaquette(links),
+                       acc.astype(jnp.float32), jnp.mean(h_probs))
+
+    keys = jax.random.split(key, num_rounds)
+    links, (qs, plaqs, f_acc, h_acc) = jax.lax.scan(one_round, links0, keys)
+    return links, qs, plaqs, f_acc, h_acc

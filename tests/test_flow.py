@@ -121,6 +121,51 @@ def test_reverse_kl_training_improves_ess(key):
     assert float(aux1["loss"]) < float(aux0["loss"])
 
 
+def test_inverse_roundtrip_and_density(key):
+    """flow_inverse undoes flow_forward to bisection tolerance, and
+    logq_of at generated samples matches the forward-accumulated logq."""
+    cfg = _cfg(time_size=4, space_size=8)
+    params = _randomized_params(key, cfg)
+    z = jax.random.uniform(key, (4, 4, 8, 2), minval=-np.pi, maxval=np.pi)
+    x, logdet = F.flow_forward(params, z, cfg)
+    z_rec, logdet_inv = F.flow_inverse(params, x, cfg)
+    # compare on the circle (wrap-safe)
+    np.testing.assert_allclose(np.cos(z_rec - z), 1.0, atol=1e-6)
+    np.testing.assert_allclose(logdet_inv, -logdet, atol=1e-4)
+
+    x2, logq = F.sample_and_logq(params, key, 4, cfg)
+    np.testing.assert_allclose(F.logq_of(params, x2, cfg), logq, atol=1e-4)
+
+
+def test_hybrid_chain_uniform_target_accepts_everything(key):
+    """beta=0 + identity flow: q(current) == q(proposal) == base, target
+    uniform -> the hybrid's flow accept probability is exactly 1."""
+    cfg = _cfg()
+    params = F.init_flow(key, cfg)
+    links0 = jax.random.uniform(key, (8, 4, 4, 2), minval=-np.pi,
+                                maxval=np.pi)
+    _, _, _, f_acc, _ = F.flow_hmc_hybrid_chain(
+        params, key, links0, 0.0, 10, 2, 0.3, 3, cfg)
+    np.testing.assert_allclose(np.asarray(f_acc), 1.0, atol=1e-5)
+
+
+def test_hybrid_chain_stationary_on_oracle(key):
+    """An ARBITRARY (untrained, randomized) flow must leave the target
+    invariant — the MH correction via logq_of carries the exactness, so a
+    wrong inverse/density would bias the plaquette off the oracle."""
+    cfg = _cfg()
+    params = _randomized_params(key, cfg)
+    beta = 1.0
+    links0 = jnp.zeros((64, 4, 4, 2))
+    _, _, plaqs, f_acc, _ = jax.jit(
+        lambda k, l: F.flow_hmc_hybrid_chain(
+            params, k, l, beta, 300, 2, 0.4, 4, cfg))(key, links0)
+    measured = float(jnp.mean(np.asarray(plaqs)[100:]))
+    exact = float(u1.u1_plaq_exact(beta))
+    assert abs(measured - exact) < 0.02, (measured, exact)
+    assert 0.0 < float(jnp.mean(f_acc))  # some flow moves actually accept
+
+
 def test_reweighted_plaquette_on_oracle(key):
     """Even the UNTRAINED (identity) flow gives an unbiased self-normalized
     importance estimate of the plaquette at small beta/volume."""
