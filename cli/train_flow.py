@@ -37,6 +37,9 @@ def build_parser():
     p.add_argument("--num_layers", type=int, default=16)
     p.add_argument("--n_mix", type=int, default=6)
     p.add_argument("--hidden_channels", type=int, default=32)
+    p.add_argument("--kernel_size", type=int, default=3,
+                   help="conditioner conv kernel (Kanwar et al. use large "
+                        "kernels for long-range context at high beta)")
     p.add_argument("--batch", type=int, default=1024)
     p.add_argument("--train_steps", type=int, default=3000)
     p.add_argument("--lr_init", type=float, default=1e-3)
@@ -45,7 +48,13 @@ def build_parser():
     p.add_argument("--warmup_steps", type=int, default=100)
     p.add_argument("--clip_grad", type=float, default=10.0)
     p.add_argument("--eval_batch", type=int, default=4096)
-    p.add_argument("--mh_steps", type=int, default=1000)
+    p.add_argument("--mh_steps", type=int, default=1000,
+                   help="0 skips the independence-MH eval")
+    p.add_argument("--resume", default="",
+                   help="run dir of a previous train_flow run: restore "
+                        "params + optimizer state and train --train_steps "
+                        "MORE steps into the same dir (config comes from "
+                        "the checkpoint; size/layer flags are ignored)")
     p.add_argument("--log_dir", default="runs/flow")
     p.add_argument("--logging_steps", type=int, default=100)
     p.add_argument("--seed", type=int, default=42)
@@ -67,15 +76,22 @@ def main(argv=None):
     from l2hmc_tpu.utils.io import (MetricsLogger, log, make_run_dir,
                                     save_params_json)
 
-    lt = args.time_size or args.size
-    cfg = F.FlowConfig(time_size=lt, space_size=args.size,
-                       num_layers=args.num_layers, n_mix=args.n_mix,
-                       hidden_channels=args.hidden_channels)
+    if args.resume:
+        run_dir = Path(args.resume)
+        cfg = F.FlowConfig(**ckpt.load_config_dict(run_dir / "checkpoints"))
+        lt = cfg.time_size
+    else:
+        lt = args.time_size or args.size
+        cfg = F.FlowConfig(time_size=lt, space_size=args.size,
+                           num_layers=args.num_layers, n_mix=args.n_mix,
+                           hidden_channels=args.hidden_channels,
+                           kernel_size=args.kernel_size)
+        run_dir = make_run_dir(args.log_dir)
+        save_params_json(run_dir, vars(args))
     key = jax.random.PRNGKey(args.seed)
-    run_dir = make_run_dir(args.log_dir)
-    save_params_json(run_dir, vars(args))
-    log(f"run dir: {run_dir}; {lt}x{args.size} beta={args.beta} "
-        f"layers={cfg.num_layers} mix={cfg.n_mix} ch={cfg.hidden_channels}")
+    log(f"run dir: {run_dir}; {lt}x{cfg.space_size} beta={args.beta} "
+        f"layers={cfg.num_layers} mix={cfg.n_mix} ch={cfg.hidden_channels}"
+        + (" (resumed)" if args.resume else ""))
 
     sched = optax.join_schedules(
         [optax.linear_schedule(0.0, args.lr_init, args.warmup_steps),
@@ -88,6 +104,17 @@ def main(argv=None):
     key, k0 = jax.random.split(key)
     params = F.init_flow(k0, cfg)
     opt_state = opt.init(params)
+    start_step = 0
+    if args.resume:
+        params = ckpt.restore_checkpoint(run_dir / "checkpoints", params)
+        start_step = ckpt.latest_step(run_dir / "checkpoints") or 0
+        try:
+            opt_state = ckpt.restore_checkpoint(run_dir / "opt_state",
+                                                opt_state)
+        except FileNotFoundError:
+            log("no optimizer state in checkpoint; Adam restarts fresh")
+        # resumed training continues at the requested beta (no re-anneal)
+        args.beta_init = 0.0
 
     # beta schedule during training (flows train best annealed at high beta)
     def beta_at(step):
@@ -137,7 +164,10 @@ def main(argv=None):
         t_prev = t_now
         logger.write(rec)
 
-    ckpt.save_checkpoint(run_dir / "checkpoints", params, steps_done, cfg)
+    ckpt.save_checkpoint(run_dir / "checkpoints", params,
+                         start_step + steps_done, cfg)
+    ckpt.save_checkpoint(run_dir / "opt_state", opt_state,
+                         start_step + steps_done)
 
     # ---- eval 1: importance-reweighted observables + weight ESS
     key, k1, k2, k3 = jax.random.split(key, 4)
@@ -151,15 +181,22 @@ def main(argv=None):
     ess_frac = float(1.0 / jnp.sum(w * w) / args.eval_batch)
     exact = float(u1.u1_plaq_exact(args.beta))
 
-    # ---- eval 2: flow-proposal independence MH
-    x0, logq0 = jax.jit(
-        lambda k: F.sample_and_logq(params, k, args.eval_batch // 4, cfg))(k2)
-    _, plaqs, accs = jax.jit(
-        lambda k, x0, lq: F.independence_mh_chain(
-            params, k, x0, lq, args.beta, args.mh_steps, cfg))(k3, x0, logq0)
-    therm = args.mh_steps // 4
+    # ---- eval 2: flow-proposal independence MH (skipped if --mh_steps 0)
+    if args.mh_steps > 0:
+        x0, logq0 = jax.jit(
+            lambda k: F.sample_and_logq(params, k, args.eval_batch // 4,
+                                        cfg))(k2)
+        _, plaqs, accs = jax.jit(
+            lambda k, x0, lq: F.independence_mh_chain(
+                params, k, x0, lq, args.beta, args.mh_steps, cfg))(
+                    k3, x0, logq0)
+        therm = args.mh_steps // 4
+        mh_accept = round(float(jnp.mean(accs)), 4)
+        mh_plaq = round(float(jnp.mean(plaqs[therm:])), 5)
+    else:
+        mh_accept = mh_plaq = None
     summary = {
-        "lattice": f"{lt}x{args.size}",
+        "lattice": f"{cfg.time_size}x{cfg.space_size}",
         "beta": args.beta,
         "weight_ess_frac": round(ess_frac, 4),
         "plaq_reweighted": round(plaq_rw, 5),
@@ -167,8 +204,8 @@ def main(argv=None):
         "chi_q_reweighted": round(chi_rw, 4),
         "chi_q_exact": round(float(u1.topological_susceptibility_exact(
             args.beta, cfg.shape.num_plaquettes)), 4),
-        "mh_accept": round(float(jnp.mean(accs)), 4),
-        "mh_plaq": round(float(jnp.mean(plaqs[therm:])), 5),
+        "mh_accept": mh_accept,
+        "mh_plaq": mh_plaq,
         # direct log Z from the flow weights vs the factorized analytic
         # value log Z = n_links log 2pi + n_plaq log(I0(beta) e^-beta)
         # (exact up to the global-charge constraint; cf. dynamics/smc.py)
