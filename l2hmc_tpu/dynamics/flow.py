@@ -126,6 +126,18 @@ class FlowConfig:
     hidden_channels: int = 32     # conditioner CNN width
     kernel_size: int = 3
 
+    def __post_init__(self):
+        # The mod-4 stripe pattern relies on active / side-effect / context
+        # stripes staying distinct around the periodic boundary; on sizes
+        # not divisible by 4 the wraparound puts a side-effect plaquette in
+        # the context and the Jacobian silently stops being triangular
+        # (measured: 6x6 biases the plaquette by +0.07).
+        if self.time_size % 4 or self.space_size % 4:
+            raise ValueError(
+                "FlowConfig requires lattice sides divisible by 4 "
+                f"(got {self.time_size}x{self.space_size}): the mod-4 "
+                "coupling stripes wrap inconsistently otherwise")
+
     @property
     def shape(self) -> u1.LatticeShape:
         return u1.LatticeShape(self.time_size, self.space_size)

@@ -32,6 +32,16 @@ def _randomized_params(key, cfg):
     return params
 
 
+def test_rejects_sizes_not_divisible_by_4():
+    """The mod-4 stripe invariants break on L % 4 != 0 (a side-effect
+    stripe wraps into the context -> non-triangular Jacobian); the config
+    must refuse rather than silently bias the density."""
+    with pytest.raises(ValueError):
+        _cfg(time_size=6, space_size=6)
+    with pytest.raises(ValueError):
+        _cfg(time_size=4, space_size=10)
+
+
 def test_identity_at_init(key):
     cfg = _cfg()
     params = F.init_flow(key, cfg)
