@@ -193,7 +193,7 @@ def main():
     # ESS/s of the average plaquette: plain-HMC baseline (well-defined
     # without a trained checkpoint) on the fused Pallas leapfrog-chain
     # kernel (ops/leapfrog.py: whole chain VMEM-resident, measured 2.5x the
-    # XLA scan form at this batch), thermalized chains, 1500 recorded
+    # XLA scan form at this batch), thermalized chains, 3000 recorded
     # transitions at the throughput-optimal 2048-chain batch.
     from l2hmc_tpu.analysis import stats as _stats
     from l2hmc_tpu.dynamics.hmc import hmc_chain_u1_fused
@@ -207,21 +207,23 @@ def main():
     ess_leapfrog, ess_eps = 5, 0.08
     links = jnp.zeros((ess_chains, cfg.time_size, cfg.space_size, 2))
 
+    # 1500 transitions per kernel call: fewer tunnel dispatches per
+    # recorded sample (3 x 500 measured ~30% slower from per-call overhead)
     @jax.jit
     def record(links, key):
         links, pl_tr, _ = hmc_chain_u1_fused(
-            links, key, ess_eps, 4.0, ess_leapfrog, 500)
+            links, key, ess_eps, 4.0, ess_leapfrog, 1500)
         # 16-chain trace slice for the ESS estimate + a scalar drain digest;
         # everything else stays on-device (no eager ops in the timed loop —
         # on the axon tunnel every eager dispatch is a network round-trip)
         return links, pl_tr[:, :16], jnp.sum(pl_tr)
 
-    keys = jax.random.split(key, 4)
+    keys = jax.random.split(key, 3)
     links, pl0, d0 = record(links, keys[0])      # thermalize + compile
     float(d0)
     t0 = time.perf_counter()
     handles = []
-    for i in range(3):
+    for i in range(2):
         links, pl16, digest = record(links, keys[i + 1])
         float(digest)                            # drain (timed)
         handles.append(pl16)
@@ -229,7 +231,7 @@ def main():
     # trace readback for the ESS estimate happens OUTSIDE the timed region
     # (observables stay on-device in production; the tunnel transfer is not
     # sampling cost)
-    pl = np.concatenate([np.asarray(h) for h in handles])  # (1500, 16)
+    pl = np.concatenate([np.asarray(h) for h in handles])  # (3000, 16)
     ess_ratio = float(np.mean([
         _stats.calc_ess(pl[:, c]) for c in range(pl.shape[1])
     ]))

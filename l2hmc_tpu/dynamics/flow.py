@@ -182,6 +182,18 @@ def init_flow(key: jax.Array, cfg: FlowConfig):
     return params
 
 
+def _conditioner(layer_params, p: jax.Array, ctx: jax.Array,
+                 cfg: FlowConfig):
+    """Per-site transform parameters from gauge-invariant context features
+    (identical in the forward and inverse directions: the layer never
+    touches its own context stripes)."""
+    feats = jnp.stack([jnp.cos(p), jnp.sin(p)], axis=-1) * ctx[..., None]
+    h = jax.nn.gelu(_conv2d_periodic(layer_params["c1"], feats))
+    out = _conv2d_periodic(layer_params["c2"], h)  # (B, Lt, Lx, 2*n_mix+1)
+    return (out[..., :cfg.n_mix], out[..., cfg.n_mix:2 * cfg.n_mix],
+            out[..., -1])
+
+
 def _coupling_forward(layer_params, links: jax.Array, axis: int,
                       offset: int, cfg: FlowConfig):
     """One coupling layer on ``links (B, Lt, Lx, 2)``.
@@ -192,14 +204,7 @@ def _coupling_forward(layer_params, links: jax.Array, axis: int,
     active, ctx = _stripe_masks(lt, lx, axis, offset)
 
     p = u1.plaq_sums(links)                       # (B, Lt, Lx)
-    feats = jnp.stack([jnp.cos(p), jnp.sin(p)], axis=-1) * ctx[..., None]
-    h = jax.nn.gelu(_conv2d_periodic(layer_params["c1"], feats))
-    out = _conv2d_periodic(layer_params["c2"], h)  # (B, Lt, Lx, 2*n_mix+1)
-
-    scales = out[..., :cfg.n_mix]
-    logits = out[..., cfg.n_mix:2 * cfg.n_mix]
-    t_off = out[..., -1]
-
+    scales, logits, t_off = _conditioner(layer_params, p, ctx, cfg)
     p_new, log_deriv = ncp_mixture(p, scales, logits, t_off)
     delta = (u1.wrap(p_new - p)) * active          # only active sites move
     logdet = jnp.sum(log_deriv * active, axis=(-2, -1))
@@ -239,14 +244,7 @@ def _coupling_inverse(layer_params, links: jax.Array, axis: int,
     active, ctx = _stripe_masks(lt, lx, axis, offset)
 
     p_out = u1.plaq_sums(links)
-    feats = jnp.stack([jnp.cos(p_out), jnp.sin(p_out)], axis=-1) * ctx[..., None]
-    h = jax.nn.gelu(_conv2d_periodic(layer_params["c1"], feats))
-    out = _conv2d_periodic(layer_params["c2"], h)
-
-    scales = out[..., :cfg.n_mix]
-    logits = out[..., cfg.n_mix:2 * cfg.n_mix]
-    t_off = out[..., -1]
-
+    scales, logits, t_off = _conditioner(layer_params, p_out, ctx, cfg)
     p_in, log_deriv = ncp_mixture_inverse(u1.wrap(p_out), scales, logits,
                                           t_off)
     delta = u1.wrap(u1.wrap(p_out) - p_in) * active
