@@ -62,7 +62,12 @@ def main(argv=None):
     from l2hmc_tpu.train import checkpoint as ckpt
 
     run_dir = Path(args.checkpoint)
-    cfg = F.FlowConfig(**ckpt.load_config_dict(run_dir / "checkpoints"))
+    cfg_dict = ckpt.load_config_dict(run_dir / "checkpoints")
+    if cfg_dict is None:
+        raise FileNotFoundError(
+            f"no config.json under {run_dir}/checkpoints — is this a "
+            "train_flow run dir?")
+    cfg = F.FlowConfig(**cfg_dict)
     key = jax.random.PRNGKey(3)
     params = ckpt.restore_checkpoint(
         run_dir / "checkpoints", F.init_flow(key, cfg))
@@ -101,14 +106,16 @@ def main(argv=None):
 
     control_chunk = jax.jit(control_rounds)
 
+    n_chunks = max(1, args.rounds // args.chunk_rounds)
+    n_rounds = n_chunks * args.chunk_rounds      # rounds that actually run
+
     def run_chain(chunk_fn, links, key, unpack):
         qs_all, acc_all, plaq_all = [], [], []
         # compile
         out = chunk_fn(links, key)
-        jax.block_until_ready(out[0])
+        float(jnp.sum(out[1]))                   # drain (axon: see bench.py)
         log("chunk compiled")
         t0 = time.perf_counter()
-        n_chunks = args.rounds // args.chunk_rounds
         for i in range(n_chunks):
             key, sub = jax.random.split(key)
             links, q, acc, plaq = unpack(chunk_fn(links, sub))
@@ -116,8 +123,10 @@ def main(argv=None):
             acc_all.append(acc)
             if plaq is not None:
                 plaq_all.append(plaq)
-        qs = np.concatenate([np.asarray(q) for q in qs_all])
+        float(jnp.sum(qs_all[-1]))               # drain before stopping clock
         wall = time.perf_counter() - t0
+        # trace readback stays OUTSIDE the timed region (not sampling cost)
+        qs = np.concatenate([np.asarray(q) for q in qs_all])
         acc = float(np.mean([np.asarray(a).mean() for a in acc_all]))
         plaq = (float(np.mean([np.asarray(x).mean() for x in plaq_all]))
                 if plaq_all else None)
@@ -144,7 +153,7 @@ def main(argv=None):
 
     result = {
         "lattice": f"{lt}x{lx}", "beta": args.beta, "chains": b,
-        "rounds": args.rounds, "hmc_per_round": args.hmc_per_round,
+        "rounds": n_rounds, "hmc_per_round": args.hmc_per_round,
         "flow_accept": round(facc, 4),
         "hmc_accept": round(hacc, 4),
         "plaq_hybrid": round(plaq_h, 5),
@@ -156,8 +165,8 @@ def main(argv=None):
                              "hmc": round(tau_c, 2)},
         "wall_s": {"hybrid": round(wall_h, 2), "hmc": round(wall_c, 2)},
         "dq_per_s": {
-            "hybrid": round(dq_h * args.rounds / wall_h, 2),
-            "hmc": round(dq_c * args.rounds / wall_c, 2)},
+            "hybrid": round(dq_h * n_rounds / wall_h, 2),
+            "hmc": round(dq_c * n_rounds / wall_c, 2)},
     }
     print(json.dumps(result))
     return 0

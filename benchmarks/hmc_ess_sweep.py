@@ -56,22 +56,26 @@ def main(argv=None):
     key = jax.random.PRNGKey(7)
     best = None
     for num_lf, eps_list in grid.items():
+        # one compile per K: eps rides the kernel's runtime scalar input
+        @jax.jit
+        def record(links, k, eps, num_lf=num_lf):
+            links, pl_tr, pr_tr = hmc_chain_u1_fused(
+                links, k, eps, args.beta, num_lf, args.record)
+            return (links, pl_tr[:, :args.trace_chains],
+                    jnp.mean(pr_tr), jnp.sum(pl_tr))
+
         for eps in eps_list:
             links = jnp.zeros((args.chains, args.size, args.size, 2))
             kt, k1, k2, key = jax.random.split(key, 4)
 
-            @jax.jit
-            def record(links, k, eps=eps, num_lf=num_lf):
-                links, pl_tr, pr_tr = hmc_chain_u1_fused(
-                    links, k, eps, args.beta, num_lf, args.record)
-                return (links, pl_tr[:, :args.trace_chains],
-                        jnp.mean(pr_tr), jnp.sum(pl_tr))
-
-            # thermalize (reuse the same compiled fn: record-count matches)
-            links, _, _, d = record(links, kt)
+            # thermalize from cold: at least --therm transitions (the first
+            # call also compiles); record-length calls keep one program
+            for i in range(max(1, -(-args.therm // args.record))):
+                kt, sub = jax.random.split(kt)
+                links, _, _, d = record(links, sub, eps)
             float(d)
             t0 = time.perf_counter()
-            links, pl16, acc, d = record(links, k1)
+            links, pl16, acc, d = record(links, k1, eps)
             float(d)
             wall = time.perf_counter() - t0
             pl = np.asarray(pl16)

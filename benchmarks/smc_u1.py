@@ -73,6 +73,9 @@ def main(argv=None):
     )
 
     use_fused = args.move == "fused"
+    if use_fused and jax.default_backend() != "tpu":
+        p.error("--move fused requires a TPU backend (the in-kernel "
+                "Pallas PRNG has no CPU lowering); use --move hmc")
     if use_fused:
         move = make_u1_fused_move(shape, args.leapfrog, args.moves_per_rung)
     else:

@@ -57,6 +57,9 @@ def build_parser():
                         "the checkpoint; size/layer flags are ignored)")
     p.add_argument("--log_dir", default="runs/flow")
     p.add_argument("--logging_steps", type=int, default=100)
+    p.add_argument("--ckpt_steps", type=int, default=0,
+                   help="checkpoint every N steps during training "
+                        "(0 = only at the end)")
     p.add_argument("--seed", type=int, default=42)
     return p
 
@@ -68,7 +71,6 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
     import optax
-    from scipy.special import i0e as _i0e
 
     from l2hmc_tpu.dynamics import flow as F
     from l2hmc_tpu.lattice import u1
@@ -78,7 +80,12 @@ def main(argv=None):
 
     if args.resume:
         run_dir = Path(args.resume)
-        cfg = F.FlowConfig(**ckpt.load_config_dict(run_dir / "checkpoints"))
+        cfg_dict = ckpt.load_config_dict(run_dir / "checkpoints")
+        if cfg_dict is None:
+            raise FileNotFoundError(
+                f"no config.json under {run_dir}/checkpoints — is this a "
+                "train_flow run dir?")
+        cfg = F.FlowConfig(**cfg_dict)
         lt = cfg.time_size
     else:
         lt = args.time_size or args.size
@@ -159,10 +166,15 @@ def main(argv=None):
         steps_done += args.logging_steps
         t_now = time.perf_counter()
         rec = {k: float(np.asarray(v)[-1]) for k, v in aux.items()}
-        rec.update(step=steps_done, beta=beta,
+        rec.update(step=start_step + steps_done, beta=beta,
                    dt=(t_now - t_prev) / args.logging_steps)
         t_prev = t_now
         logger.write(rec)
+        if args.ckpt_steps and steps_done % args.ckpt_steps < args.logging_steps:
+            ckpt.save_checkpoint(run_dir / "checkpoints", params,
+                                 start_step + steps_done, cfg)
+            ckpt.save_checkpoint(run_dir / "opt_state", opt_state,
+                                 start_step + steps_done)
 
     ckpt.save_checkpoint(run_dir / "checkpoints", params,
                          start_step + steps_done, cfg)
@@ -207,12 +219,10 @@ def main(argv=None):
         "mh_accept": mh_accept,
         "mh_plaq": mh_plaq,
         # direct log Z from the flow weights vs the factorized analytic
-        # value log Z = n_links log 2pi + n_plaq log(I0(beta) e^-beta)
-        # (exact up to the global-charge constraint; cf. dynamics/smc.py)
+        # value (exact up to the global-charge constraint)
         "log_z_flow": round(float(log_z), 2),
         "log_z_exact_factorized": round(
-            cfg.shape.num_links * float(np.log(2 * np.pi))
-            + cfg.shape.num_plaquettes * float(np.log(_i0e(args.beta))), 2),
+            u1.log_z_exact_factorized(cfg.shape, args.beta), 2),
     }
     (run_dir / "summary.json").write_text(json.dumps(summary, indent=2))
     log(json.dumps(summary))

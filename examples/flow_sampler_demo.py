@@ -33,9 +33,7 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
-    import numpy as np
     import optax
-    from scipy.special import i0e
 
     from l2hmc_tpu.dynamics import flow as F
     from l2hmc_tpu.lattice import u1
@@ -68,8 +66,7 @@ def main(argv=None):
     x, log_w, log_z = F.importance_weights(params, k1, 4096, args.beta, cfg)
     plaq = float(jnp.sum(jnp.exp(log_w) * u1.avg_plaquette(x)))
     exact = float(u1.u1_plaq_exact(args.beta))
-    log_z_exact = (cfg.shape.num_links * np.log(2 * np.pi)
-                   + cfg.shape.num_plaquettes * np.log(i0e(args.beta)))
+    log_z_exact = u1.log_z_exact_factorized(cfg.shape, args.beta)
 
     x0, logq0 = F.sample_and_logq(params, k2, 256, cfg)
     _, plaqs, accs = jax.jit(lambda k, x0, lq: F.independence_mh_chain(

@@ -169,6 +169,19 @@ def u1_plaq_exact(beta) -> jax.Array:
     return jax.scipy.special.i1e(beta) / jax.scipy.special.i0e(beta)
 
 
+def log_z_exact_factorized(shape: LatticeShape, beta) -> float:
+    """Absolute ``log Z(beta) = n_links log 2pi + n_plaq log(I0(beta)e^-beta)``
+    for the Lebesgue link measure on ``(-pi, pi]^{n_links}`` — the 2-D U(1)
+    partition function factorizes over plaquettes up to the global-charge
+    constraint (exact anchor for flow/AIS normalizer estimates; the ratio
+    form lives in ``dynamics/smc.py u1_log_z_exact_factorized``)."""
+    import numpy as np
+    from scipy.special import i0e
+
+    return float(shape.num_links * np.log(2.0 * np.pi)
+                 + shape.num_plaquettes * np.log(i0e(beta)))
+
+
 def make_potential_fn(shape: LatticeShape):
     """Return ``U(x) -> per-sample Wilson action`` on flat states.
 

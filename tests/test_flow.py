@@ -186,7 +186,5 @@ def test_reweighted_plaquette_on_oracle(key):
     exact = float(u1.u1_plaq_exact(0.5))
     assert abs(plaq - exact) < 0.02, (plaq, exact)
     # direct log Z vs the factorized analytic value
-    from scipy.special import i0e
-    log_z_exact = (cfg.shape.num_links * np.log(2 * np.pi)
-                   + cfg.shape.num_plaquettes * np.log(i0e(0.5)))
+    log_z_exact = u1.log_z_exact_factorized(cfg.shape, 0.5)
     assert abs(float(log_z) - log_z_exact) < 0.3, (float(log_z), log_z_exact)
