@@ -47,6 +47,16 @@ def build_parser():
     p.add_argument("--lr_decay_rate", type=float, default=0.7)
     p.add_argument("--warmup_steps", type=int, default=100)
     p.add_argument("--clip_grad", type=float, default=10.0)
+    # forward-KL (max-likelihood) fine-tuning phase on exact HMC samples:
+    # targets KL(p||q), which governs hybrid-chain acceptance (RESULTS.md)
+    p.add_argument("--fkl_steps", type=int, default=0,
+                   help="fine-tune steps with loss = reverse_kl + "
+                        "fkl_weight * forward_kl(HMC samples)")
+    p.add_argument("--fkl_weight", type=float, default=1.0)
+    p.add_argument("--fkl_batch", type=int, default=256)
+    p.add_argument("--fkl_buffer", type=int, default=4096,
+                   help="HMC-generated target-sample buffer size")
+    p.add_argument("--fkl_hmc_eps", type=float, default=0.08)
     p.add_argument("--eval_batch", type=int, default=4096)
     p.add_argument("--mh_steps", type=int, default=1000,
                    help="0 skips the independence-MH eval")
@@ -175,6 +185,59 @@ def main(argv=None):
                                  start_step + steps_done, cfg)
             ckpt.save_checkpoint(run_dir / "opt_state", opt_state,
                                  start_step + steps_done)
+
+    # ---- phase 2 (optional): forward-KL fine-tuning on exact HMC samples
+    if args.fkl_steps > 0:
+        from l2hmc_tpu.dynamics.hmc import hmc_chain_u1_fused
+
+        key, kb = jax.random.split(key)
+        n_chains = args.fkl_buffer // 2
+        links = jnp.zeros((n_chains, cfg.time_size, cfg.space_size, 2))
+        links, _, _ = jax.jit(lambda l, k: hmc_chain_u1_fused(
+            l, k, args.fkl_hmc_eps, args.beta, 5, 600))(links, kb)
+        kb, _ = jax.random.split(kb)
+        links2, _, _ = jax.jit(lambda l, k: hmc_chain_u1_fused(
+            l, k, args.fkl_hmc_eps, args.beta, 5, 100))(links, kb)
+        buffer = jnp.concatenate([links, links2])     # (fkl_buffer, ...)
+        log(f"fkl buffer: {buffer.shape[0]} HMC-equilibrated configs")
+
+        @jax.jit
+        def fkl_chunk(params, opt_state, key):
+            def body(carry, k):
+                params, opt_state = carry
+                kr, kf = jax.random.split(k)
+                idx = jax.random.randint(kf, (args.fkl_batch,), 0,
+                                         buffer.shape[0])
+
+                def loss_fn(p):
+                    rkl, aux = F.reverse_kl_loss(p, kr, args.batch,
+                                                 args.beta, cfg)
+                    fkl = F.forward_kl_loss(p, buffer[idx], cfg)
+                    return rkl + args.fkl_weight * fkl, (aux, fkl)
+
+                (_, (aux, fkl)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                updates, opt_state = opt.update(grads, opt_state)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), {**aux, "fkl": fkl}
+
+            keys = jax.random.split(key, args.logging_steps)
+            (params, opt_state), aux = jax.lax.scan(
+                body, (params, opt_state), keys)
+            return params, opt_state, aux
+
+        done = 0
+        while done < args.fkl_steps:
+            key, sub = jax.random.split(key)
+            params, opt_state, aux = fkl_chunk(params, opt_state, sub)
+            done += args.logging_steps
+            rec = {k: float(np.asarray(v)[-1]) for k, v in aux.items()}
+            rec.update(step=start_step + steps_done + done, beta=args.beta,
+                       dt=0.0)
+            logger.write(rec)
+            log(f"  fkl step {done}: -E_p[logq] {rec['fkl']:.2f} "
+                f"rkl-ess {rec['ess_frac']:.4f}")
+        steps_done += args.fkl_steps
 
     ckpt.save_checkpoint(run_dir / "checkpoints", params,
                          start_step + steps_done, cfg)

@@ -77,39 +77,48 @@ def ncp_mixture(phi: jax.Array, scales: jax.Array, logits: jax.Array,
 def ncp_mixture_inverse(phi_out: jax.Array, scales: jax.Array,
                         logits: jax.Array, offset: jax.Array,
                         iters: int = 40) -> Tuple[jax.Array, jax.Array]:
-    """Invert :func:`ncp_mixture` by bisection (the mixture is strictly
-    increasing on (-pi, pi) with fixed endpoints; 40 halvings reach f32
-    resolution).  Returns ``(phi_in, log_deriv_at_phi_in)``.
+    """Invert :func:`ncp_mixture` by bisection + one Newton polish (the
+    mixture is strictly increasing on (-pi, pi) with fixed endpoints; 40
+    halvings reach f32 resolution).  Returns ``(phi_in,
+    log_deriv_at_phi_in)``.
 
-    The flow only needs the inverse for *density evaluation at arbitrary
-    states* (hybrid flow+HMC chains, forward-KL diagnostics) — sampling
-    and reverse-KL training stay forward-only.
+    The bisection runs under ``stop_gradient`` (its literal autodiff is
+    zero — the iterates are piecewise constant in the parameters); the
+    final Newton step ``phi -= (h(phi) - target) / h'(phi)`` is taken
+    WITH autodiff, which both sharpens the root and realizes the exact
+    implicit-function derivative ``d phi_in / d theta = -(dh/dtheta)/h'``
+    — so ``logq_of`` is correctly differentiable and can train the flow
+    by maximum likelihood on external (e.g. HMC) samples.
     """
     half_w = jax.nn.softmax(logits, axis=-1)
     es = jnp.exp(scales)
 
-    def h(phi):
+    def h_and_deriv(phi):
         half = 0.5 * phi[..., None]
         s, c = jnp.sin(half), jnp.cos(half)
-        return jnp.sum(half_w * 2.0 * jnp.arctan2(es * s, c), axis=-1)
+        val = jnp.sum(half_w * 2.0 * jnp.arctan2(es * s, c), axis=-1)
+        deriv = jnp.sum(half_w * es / (c * c + es * es * s * s), axis=-1)
+        return val, deriv
 
     target = u1.wrap(phi_out - offset)
 
     def body(carry, _):
         lo, hi = carry
         mid = 0.5 * (lo + hi)
-        go_hi = h(mid) < target
+        go_hi = h_and_deriv(mid)[0] < target
         return (jnp.where(go_hi, mid, lo), jnp.where(go_hi, hi, mid)), None
 
     lo = jnp.full_like(target, -np.pi)
     hi = jnp.full_like(target, np.pi)
-    (lo, hi), _ = jax.lax.scan(body, (lo, hi), None, length=iters)
-    phi_in = 0.5 * (lo + hi)
-    half = 0.5 * phi_in[..., None]
-    s, c = jnp.sin(half), jnp.cos(half)
-    denom = c * c + es * es * s * s
-    deriv = jnp.sum(half_w * es / denom, axis=-1)
-    return phi_in, jnp.log(deriv)
+    (lo, hi), _ = jax.lax.scan(
+        body,
+        (jax.lax.stop_gradient(lo), jax.lax.stop_gradient(hi)),
+        None, length=iters)
+    phi0 = jax.lax.stop_gradient(0.5 * (lo + hi))
+    val, deriv = h_and_deriv(phi0)
+    phi_in = phi0 - (val - target) / deriv
+    _, deriv_in = h_and_deriv(phi_in)
+    return phi_in, jnp.log(deriv_in)
 
 
 # ---------------------------------------------------------------------------
@@ -321,6 +330,16 @@ def importance_weights(params, key: jax.Array, batch: int, beta,
     logw = -beta * u1.wilson_action(x) - logq
     log_z = jax.scipy.special.logsumexp(logw) - jnp.log(batch)
     return x, logw - jax.scipy.special.logsumexp(logw), log_z
+
+
+def forward_kl_loss(params, x_p: jax.Array, cfg: FlowConfig) -> jax.Array:
+    """``-E_p[log q]`` — maximum likelihood on samples from the TARGET
+    (e.g. an exact HMC chain), which minimizes KL(p||q): the
+    mass-covering divergence that governs acceptance of flow proposals
+    FROM p-typical states (the hybrid chain's bottleneck — RESULTS.md).
+    Differentiable through the numerical inverse via the Newton-polish
+    implicit gradient in :func:`ncp_mixture_inverse`."""
+    return -jnp.mean(logq_of(params, x_p, cfg))
 
 
 def independence_mh_chain(params, key: jax.Array, x0: jax.Array,

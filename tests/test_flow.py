@@ -176,6 +176,53 @@ def test_hybrid_chain_stationary_on_oracle(key):
     assert 0.0 < float(jnp.mean(f_acc))  # some flow moves actually accept
 
 
+def test_logq_of_gradient_matches_finite_differences(key):
+    """The bisection inverse is piecewise constant in the parameters; the
+    Newton polish must supply the exact implicit-function derivative, or
+    forward-KL (max-likelihood) training silently optimizes the wrong
+    thing."""
+    cfg = _cfg(num_layers=2, hidden_channels=4, n_mix=2)
+    params = _randomized_params(key, cfg)
+    x = jax.random.uniform(key, (2, 4, 4, 2), minval=-np.pi, maxval=np.pi)
+
+    def loss(w_elem):
+        p = jax.tree.map(lambda a: a, params)
+        p[0]["c2"]["w"] = params[0]["c2"]["w"].at[0, 0, 0, 0].set(w_elem)
+        return jnp.mean(F.logq_of(p, x, cfg))
+
+    w0 = float(params[0]["c2"]["w"][0, 0, 0, 0])
+    g_auto = float(jax.grad(loss)(jnp.asarray(w0)))
+    eps = 1e-3
+    g_fd = (float(loss(jnp.asarray(w0 + eps)))
+            - float(loss(jnp.asarray(w0 - eps)))) / (2 * eps)
+    np.testing.assert_allclose(g_auto, g_fd, rtol=2e-2, atol=1e-4)
+
+
+def test_forward_kl_training_raises_likelihood(key):
+    """A few max-likelihood steps on fixed 'data' must increase mean logq
+    of that data (end-to-end check that gradients flow through the
+    inverse)."""
+    import optax
+
+    cfg = _cfg(num_layers=4, hidden_channels=4, n_mix=2)
+    params = F.init_flow(key, cfg)
+    x = jax.random.uniform(key, (32, 4, 4, 2), minval=-1.0, maxval=1.0)
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        l, grads = jax.value_and_grad(
+            lambda p: F.forward_kl_loss(p, x, cfg))(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, l
+
+    l0 = float(F.forward_kl_loss(params, x, cfg))
+    for _ in range(30):
+        params, opt_state, l = step(params, opt_state)
+    assert float(l) < l0 - 0.5, (l0, float(l))
+
+
 def test_reweighted_plaquette_on_oracle(key):
     """Even the UNTRAINED (identity) flow gives an unbiased self-normalized
     importance estimate of the plaquette at small beta/volume."""
