@@ -53,6 +53,10 @@ def build_parser():
                    help="fine-tune steps with loss = reverse_kl + "
                         "fkl_weight * forward_kl(HMC samples)")
     p.add_argument("--fkl_weight", type=float, default=1.0)
+    p.add_argument("--fkl_lr", type=float, default=2e-4,
+                   help="the fine-tune phase uses its own fresh Adam "
+                        "(the restored optimizer carries the main phase's "
+                        "decayed schedule count)")
     p.add_argument("--fkl_batch", type=int, default=256)
     p.add_argument("--fkl_buffer", type=int, default=4096,
                    help="HMC-generated target-sample buffer size")
@@ -201,6 +205,10 @@ def main(argv=None):
         buffer = jnp.concatenate([links, links2])     # (fkl_buffer, ...)
         log(f"fkl buffer: {buffer.shape[0]} HMC-equilibrated configs")
 
+        opt_f = optax.chain(optax.clip_by_global_norm(args.clip_grad),
+                            optax.adam(args.fkl_lr))
+        opt_state_f = opt_f.init(params)
+
         @jax.jit
         def fkl_chunk(params, opt_state, key):
             def body(carry, k):
@@ -217,7 +225,7 @@ def main(argv=None):
 
                 (_, (aux, fkl)), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(params)
-                updates, opt_state = opt.update(grads, opt_state)
+                updates, opt_state = opt_f.update(grads, opt_state)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), {**aux, "fkl": fkl}
 
@@ -229,7 +237,7 @@ def main(argv=None):
         done = 0
         while done < args.fkl_steps:
             key, sub = jax.random.split(key)
-            params, opt_state, aux = fkl_chunk(params, opt_state, sub)
+            params, opt_state_f, aux = fkl_chunk(params, opt_state_f, sub)
             done += args.logging_steps
             rec = {k: float(np.asarray(v)[-1]) for k, v in aux.items()}
             rec.update(step=start_step + steps_done + done, beta=args.beta,
