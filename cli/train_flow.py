@@ -37,6 +37,8 @@ def build_parser():
     p.add_argument("--num_layers", type=int, default=16)
     p.add_argument("--n_mix", type=int, default=6)
     p.add_argument("--hidden_channels", type=int, default=32)
+    p.add_argument("--conditioner_depth", type=int, default=1,
+                   help="hidden conv layers per conditioner")
     p.add_argument("--kernel_size", type=int, default=3,
                    help="conditioner conv kernel (Kanwar et al. use large "
                         "kernels for long-range context at high beta)")
@@ -106,7 +108,8 @@ def main(argv=None):
         cfg = F.FlowConfig(time_size=lt, space_size=args.size,
                            num_layers=args.num_layers, n_mix=args.n_mix,
                            hidden_channels=args.hidden_channels,
-                           kernel_size=args.kernel_size)
+                           kernel_size=args.kernel_size,
+                           conditioner_depth=args.conditioner_depth)
         run_dir = make_run_dir(args.log_dir)
         save_params_json(run_dir, vars(args))
     key = jax.random.PRNGKey(args.seed)

@@ -134,6 +134,7 @@ class FlowConfig:
     n_mix: int = 6                # NCP mixture components
     hidden_channels: int = 32     # conditioner CNN width
     kernel_size: int = 3
+    conditioner_depth: int = 1    # hidden conv layers in each conditioner
 
     def __post_init__(self):
         # The mod-4 stripe pattern relies on active / side-effect / context
@@ -177,17 +178,27 @@ def _stripe_masks(lt: int, lx: int, axis: int, offset: int):
 
 
 def init_flow(key: jax.Array, cfg: FlowConfig):
-    """Per-layer conditioner params.  Output conv zero-init -> identity flow."""
+    """Per-layer conditioner params.  Output conv zero-init -> identity flow.
+
+    Param names: ``c1`` first hidden conv, ``h2..hD`` extra hidden convs
+    (``conditioner_depth > 1``), ``c2`` the zero-init output conv — so
+    depth-1 checkpoints keep their historical {c1, c2} structure.
+    """
     params = []
     out_ch = 2 * cfg.n_mix + 1
+    k = cfg.kernel_size
     for _ in range(cfg.num_layers):
-        key, k1, k2 = jax.random.split(key, 3)
-        c1 = _conv_init(k1, cfg.kernel_size, cfg.kernel_size, 2,
-                        cfg.hidden_channels)
-        c2 = _conv_init(k2, cfg.kernel_size, cfg.kernel_size,
-                        cfg.hidden_channels, out_ch)
-        c2 = {"w": jnp.zeros_like(c2["w"]), "b": c2["b"]}
-        params.append({"c1": c1, "c2": c2})
+        layer = {}
+        key, sub = jax.random.split(key)
+        layer["c1"] = _conv_init(sub, k, k, 2, cfg.hidden_channels)
+        for d in range(2, cfg.conditioner_depth + 1):
+            key, sub = jax.random.split(key)
+            layer[f"h{d}"] = _conv_init(sub, k, k, cfg.hidden_channels,
+                                        cfg.hidden_channels)
+        key, sub = jax.random.split(key)
+        out = _conv_init(sub, k, k, cfg.hidden_channels, out_ch)
+        layer["c2"] = {"w": jnp.zeros_like(out["w"]), "b": out["b"]}
+        params.append(layer)
     return params
 
 
@@ -198,6 +209,8 @@ def _conditioner(layer_params, p: jax.Array, ctx: jax.Array,
     touches its own context stripes)."""
     feats = jnp.stack([jnp.cos(p), jnp.sin(p)], axis=-1) * ctx[..., None]
     h = jax.nn.gelu(_conv2d_periodic(layer_params["c1"], feats))
+    for d in range(2, cfg.conditioner_depth + 1):
+        h = jax.nn.gelu(_conv2d_periodic(layer_params[f"h{d}"], h))
     out = _conv2d_periodic(layer_params["c2"], h)  # (B, Lt, Lx, 2*n_mix+1)
     return (out[..., :cfg.n_mix], out[..., cfg.n_mix:2 * cfg.n_mix],
             out[..., -1])

@@ -51,6 +51,23 @@ def test_identity_at_init(key):
     np.testing.assert_allclose(logdet, 0.0, atol=1e-6)
 
 
+def test_logdet_matches_autodiff_jacobian_depth2(key):
+    """Deeper conditioners must not disturb the triangular structure."""
+    cfg = _cfg(num_layers=4, conditioner_depth=2)
+    params = _randomized_params(key, cfg)
+
+    def flat_flow(zf):
+        x, _ = F.flow_forward(params, zf.reshape(1, 4, 4, 2), cfg)
+        return x.reshape(-1)
+
+    z = jax.random.uniform(key, (32,), minval=-np.pi, maxval=np.pi)
+    jac = jax.jacfwd(flat_flow)(z)
+    sign, logabsdet = np.linalg.slogdet(np.asarray(jac))
+    _, logdet = F.flow_forward(params, z.reshape(1, 4, 4, 2), cfg)
+    assert sign == 1.0
+    np.testing.assert_allclose(float(logdet[0]), logabsdet, atol=1e-4)
+
+
 def test_logdet_matches_autodiff_jacobian(key):
     cfg = _cfg()
     params = _randomized_params(key, cfg)
