@@ -24,6 +24,10 @@ def main(argv=None):
     p.add_argument("--sizes", type=int, nargs="+", default=[8, 16, 32, 64])
     p.add_argument("--arch", default="conv")
     p.add_argument("--chunk", type=int, default=50)
+    p.add_argument("--hidden_cap", type=int, default=4096,
+                   help="cap on the dense-trunk width (128x128 needs "
+                        "<=1024: the 4096-wide heads plus Adam state "
+                        "exceed HBM)")
     args = p.parse_args(argv)
 
     import jax
@@ -41,7 +45,7 @@ def main(argv=None):
             num_steps=3, network_arch=args.arch, eps_init=0.32 / l * 2.5,
             # default hidden = 2*x_dim blows HBM at L=64 (16k hidden ->
             # multi-GB dense weights); cap like the 32x32 training runs
-            num_hidden=min(2 * 2 * l * l, 4096),
+            num_hidden=min(2 * 2 * l * l, args.hidden_cap),
         )
         state = G.init_train_state(cfg, key)
         _, dyn, _ = G.build_dynamics(cfg)

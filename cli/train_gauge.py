@@ -154,6 +154,18 @@ def main(argv=None):
     save_params_json(run_dir, vars(args))
     log(f"run dir: {run_dir}")
     log(f"devices: {jax.devices()}")
+    # volume advisory (RESULTS.md, 128x128 study): per-step S/T/Q output
+    # jumps enter the Hamiltonian summed over x_dim links, and the eps
+    # acceptance cliff tightens with volume — default settings that train
+    # fine at L<=64 freeze the chain at larger L
+    x_dim = 2 * cfg.time_size * cfg.space_size
+    if not cfg.hmc and x_dim > 16384 and (
+            cfg.lr_init > 5e-5 or cfg.eps_trainable):
+        log(f"WARNING: x_dim={x_dim} with lr_init={cfg.lr_init} and "
+            f"eps_trainable={cfg.eps_trainable} — at this volume the "
+            "dead-gradient trap closes easily; the measured working "
+            "recipe at 128x128 is --eps 0.012 --eps_fixed --lr_init 2e-5 "
+            "(RESULTS.md)")
 
     state = init_train_state(cfg, key)
     start_step = 0
