@@ -174,86 +174,107 @@ def main(argv=None):
         ("plaq", "{:>8.5f}"),
     ]
 
+    # graceful shutdown: the segmented-marathon pattern kills runs with
+    # `timeout` (SIGTERM) — convert it to KeyboardInterrupt so the run
+    # falls through to the checkpoint save instead of losing the tail
+    # (reference semantics: gauge_model.py:1295-1301 saves on interrupt)
+    import signal
+
+    def _sigterm(signum, frame):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _sigterm)
+
     t_prev = time.perf_counter()
     steps_done = 0
-    while steps_done < args.train_steps:
-        key, sub = jax.random.split(key)
-        beta = beta_at(steps_done)
-        params, opt_state, aux = chunk(params, opt_state, beta, sub)
-        steps_done += args.logging_steps
-        t_now = time.perf_counter()
-        rec = {k: float(np.asarray(v)[-1]) for k, v in aux.items()}
-        rec.update(step=start_step + steps_done, beta=beta,
-                   dt=(t_now - t_prev) / args.logging_steps)
-        t_prev = t_now
-        logger.write(rec)
-        if args.ckpt_steps and steps_done % args.ckpt_steps < args.logging_steps:
-            ckpt.save_checkpoint(run_dir / "checkpoints", params,
-                                 start_step + steps_done, cfg)
-            ckpt.save_checkpoint(run_dir / "opt_state", opt_state,
-                                 start_step + steps_done)
-
-    # ---- phase 2 (optional): forward-KL fine-tuning on exact HMC samples
-    if args.fkl_steps > 0:
-        from l2hmc_tpu.dynamics.hmc import hmc_chain_u1_fused
-
-        key, kb = jax.random.split(key)
-        n_chains = args.fkl_buffer // 2
-        links = jnp.zeros((n_chains, cfg.time_size, cfg.space_size, 2))
-        links, _, _ = jax.jit(lambda l, k: hmc_chain_u1_fused(
-            l, k, args.fkl_hmc_eps, args.beta, 5, 600))(links, kb)
-        kb, _ = jax.random.split(kb)
-        links2, _, _ = jax.jit(lambda l, k: hmc_chain_u1_fused(
-            l, k, args.fkl_hmc_eps, args.beta, 5, 100))(links, kb)
-        buffer = jnp.concatenate([links, links2])     # (fkl_buffer, ...)
-        log(f"fkl buffer: {buffer.shape[0]} HMC-equilibrated configs")
-
-        opt_f = optax.chain(optax.clip_by_global_norm(args.clip_grad),
-                            optax.adam(args.fkl_lr))
-        opt_state_f = opt_f.init(params)
-
-        @jax.jit
-        def fkl_chunk(params, opt_state, key):
-            def body(carry, k):
-                params, opt_state = carry
-                kr, kf = jax.random.split(k)
-                idx = jax.random.randint(kf, (args.fkl_batch,), 0,
-                                         buffer.shape[0])
-
-                def loss_fn(p):
-                    rkl, aux = F.reverse_kl_loss(p, kr, args.batch,
-                                                 args.beta, cfg)
-                    fkl = F.forward_kl_loss(p, buffer[idx], cfg)
-                    return rkl + args.fkl_weight * fkl, (aux, fkl)
-
-                (_, (aux, fkl)), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(params)
-                updates, opt_state = opt_f.update(grads, opt_state)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), {**aux, "fkl": fkl}
-
-            keys = jax.random.split(key, args.logging_steps)
-            (params, opt_state), aux = jax.lax.scan(
-                body, (params, opt_state), keys)
-            return params, opt_state, aux
-
-        done = 0
-        while done < args.fkl_steps:
+    interrupted = False
+    try:
+        while steps_done < args.train_steps:
             key, sub = jax.random.split(key)
-            params, opt_state_f, aux = fkl_chunk(params, opt_state_f, sub)
-            done += args.logging_steps
+            beta = beta_at(steps_done)
+            params, opt_state, aux = chunk(params, opt_state, beta, sub)
+            steps_done += args.logging_steps
+            t_now = time.perf_counter()
             rec = {k: float(np.asarray(v)[-1]) for k, v in aux.items()}
-            rec.update(step=start_step + steps_done + done, beta=args.beta,
-                       dt=0.0)
+            rec.update(step=start_step + steps_done, beta=beta,
+                       dt=(t_now - t_prev) / args.logging_steps)
+            t_prev = t_now
             logger.write(rec)
-            log(f"  fkl step {done}: -E_p[logq] {rec['fkl']:.2f} "
-                f"rkl-ess {rec['ess_frac']:.4f}")
-        steps_done += args.fkl_steps
+            if (args.ckpt_steps
+                    and steps_done % args.ckpt_steps < args.logging_steps):
+                ckpt.save_checkpoint(run_dir / "checkpoints", params,
+                                     start_step + steps_done, cfg)
+                ckpt.save_checkpoint(run_dir / "opt_state", opt_state,
+                                     start_step + steps_done)
+
+        # ---- phase 2 (optional): forward-KL fine-tune on exact HMC samples
+        if args.fkl_steps > 0:
+            from l2hmc_tpu.dynamics.hmc import hmc_chain_u1_fused
+
+            key, kb = jax.random.split(key)
+            n_chains = args.fkl_buffer // 2
+            links = jnp.zeros((n_chains, cfg.time_size, cfg.space_size, 2))
+            links, _, _ = jax.jit(lambda l, k: hmc_chain_u1_fused(
+                l, k, args.fkl_hmc_eps, args.beta, 5, 600))(links, kb)
+            kb, _ = jax.random.split(kb)
+            links2, _, _ = jax.jit(lambda l, k: hmc_chain_u1_fused(
+                l, k, args.fkl_hmc_eps, args.beta, 5, 100))(links, kb)
+            buffer = jnp.concatenate([links, links2])   # (fkl_buffer, ...)
+            log(f"fkl buffer: {buffer.shape[0]} HMC-equilibrated configs")
+
+            opt_f = optax.chain(optax.clip_by_global_norm(args.clip_grad),
+                                optax.adam(args.fkl_lr))
+            opt_state_f = opt_f.init(params)
+
+            @jax.jit
+            def fkl_chunk(params, opt_state, key):
+                def body(carry, k):
+                    params, opt_state = carry
+                    kr, kf = jax.random.split(k)
+                    idx = jax.random.randint(kf, (args.fkl_batch,), 0,
+                                             buffer.shape[0])
+
+                    def loss_fn(p):
+                        rkl, aux = F.reverse_kl_loss(p, kr, args.batch,
+                                                     args.beta, cfg)
+                        fkl = F.forward_kl_loss(p, buffer[idx], cfg)
+                        return rkl + args.fkl_weight * fkl, (aux, fkl)
+
+                    (_, (aux, fkl)), grads = jax.value_and_grad(
+                        loss_fn, has_aux=True)(params)
+                    updates, opt_state = opt_f.update(grads, opt_state)
+                    params = optax.apply_updates(params, updates)
+                    return (params, opt_state), {**aux, "fkl": fkl}
+
+                keys = jax.random.split(key, args.logging_steps)
+                (params, opt_state), aux = jax.lax.scan(
+                    body, (params, opt_state), keys)
+                return params, opt_state, aux
+
+            done = 0
+            while done < args.fkl_steps:
+                key, sub = jax.random.split(key)
+                params, opt_state_f, aux = fkl_chunk(params, opt_state_f, sub)
+                done += args.logging_steps
+                rec = {k: float(np.asarray(v)[-1]) for k, v in aux.items()}
+                rec.update(step=start_step + steps_done + done,
+                           beta=args.beta, dt=0.0)
+                logger.write(rec)
+                log(f"  fkl step {done}: -E_p[logq] {rec['fkl']:.2f} "
+                    f"rkl-ess {rec['ess_frac']:.4f}")
+                steps_done += args.logging_steps
+    except (KeyboardInterrupt, SystemExit):
+        # SIGTERM (e.g. `timeout`) and Ctrl-C land here: save, skip evals
+        interrupted = True
+        log(f"interrupted at step {start_step + steps_done} — saving")
 
     ckpt.save_checkpoint(run_dir / "checkpoints", params,
                          start_step + steps_done, cfg)
     ckpt.save_checkpoint(run_dir / "opt_state", opt_state,
                          start_step + steps_done)
+    if interrupted:
+        logger.close()
+        return 1
 
     # ---- eval 1: importance-reweighted observables + weight ESS
     key, k1, k2, k3 = jax.random.split(key, 4)
