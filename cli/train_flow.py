@@ -174,16 +174,11 @@ def main(argv=None):
         ("plaq", "{:>8.5f}"),
     ]
 
-    # graceful shutdown: the segmented-marathon pattern kills runs with
-    # `timeout` (SIGTERM) — convert it to KeyboardInterrupt so the run
-    # falls through to the checkpoint save instead of losing the tail
-    # (reference semantics: gauge_model.py:1295-1301 saves on interrupt)
-    import signal
+    # graceful shutdown: SIGTERM (e.g. `timeout`-killed runs) falls through
+    # to the checkpoint save instead of losing the tail
+    from l2hmc_tpu.utils.io import install_sigterm_handler
 
-    def _sigterm(signum, frame):
-        raise KeyboardInterrupt
-
-    signal.signal(signal.SIGTERM, _sigterm)
+    install_sigterm_handler()
 
     t_prev = time.perf_counter()
     steps_done = 0

@@ -144,8 +144,12 @@ def main(argv=None):
     from l2hmc_tpu.train.gauge import (
         init_train_state, make_eval_chunk, make_train_chunk,
     )
-    from l2hmc_tpu.utils.io import MetricsLogger, log, make_run_dir, save_params_json
+    from l2hmc_tpu.utils.io import (
+        MetricsLogger, install_sigterm_handler, log, make_run_dir,
+        save_params_json,
+    )
 
+    install_sigterm_handler()
     initialize_distributed()
     cfg = flags_to_config(args)
     key = jax.random.PRNGKey(args.seed)

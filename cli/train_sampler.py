@@ -30,8 +30,14 @@ from l2hmc_tpu.utils.flags import ArgfileParser  # noqa: E402
 def build_parser():
     p = ArgfileParser(description=__doc__)
     p.add_argument("--target", default="scg",
-                   choices=["scg", "tilted", "gmm_axes", "gmm_ring",
-                            "rough_well", "funnel"])
+                   choices=["scg", "tilted", "gmm_axes", "gmm_single_axis",
+                            "gmm_one_per_axis", "gmm_diagonal", "gmm_ring",
+                            "rough_well", "funnel"],
+                   help="gmm_axes == reference 'single_axis' (pair at +-sep "
+                        "on axis 0); gmm_one_per_axis == reference 'axes' "
+                        "(one mode per coordinate axis); gmm_diagonal == "
+                        "reference 'diagonal' (pair at +-sep*ones) — "
+                        "mog_model.py:1040-1112")
     p.add_argument("--dim", type=int, default=2)
     p.add_argument("--sep", type=float, default=2.0, help="GMM mode separation")
     p.add_argument("--var", type=float, default=0.1, help="GMM component variance")
@@ -69,8 +75,14 @@ def make_target(args):
         return T.scg_2d(), None
     if args.target == "tilted":
         return T.random_tilted_gaussian(args.seed, args.dim), None
-    if args.target == "gmm_axes":
-        t = T.gmm_axes(args.dim, sep=args.sep, var=args.var)
+    if args.target in ("gmm_axes", "gmm_single_axis"):
+        t = T.gmm_single_axis(args.dim, sep=args.sep, var=args.var)
+        return t, np.asarray(t.mus)
+    if args.target == "gmm_one_per_axis":
+        t = T.gmm_one_per_axis(args.dim, sep=args.sep, var=args.var)
+        return t, np.asarray(t.mus)
+    if args.target == "gmm_diagonal":
+        t = T.gmm_diagonal(args.dim, sep=args.sep, var=args.var)
         return t, np.asarray(t.mus)
     if args.target == "gmm_ring":
         t = T.gen_ring(r=args.sep, var=args.var, nb_mixtures=args.nb_mixtures)
@@ -96,8 +108,13 @@ def main(argv=None):
         SamplerConfig, init_sampler_state, make_sample_chain,
         make_sampler_train_chunk,
     )
-    from l2hmc_tpu.utils.io import MetricsLogger, log, make_run_dir, save_params_json
+    from l2hmc_tpu.train import checkpoint as ckpt
+    from l2hmc_tpu.utils.io import (
+        MetricsLogger, install_sigterm_handler, log, make_run_dir,
+        save_params_json,
+    )
 
+    install_sigterm_handler()
     target, modes = make_target(args)
     dim = (
         2 if args.target in ("scg", "gmm_ring") else args.dim
@@ -128,34 +145,41 @@ def main(argv=None):
 
     t_prev = time.perf_counter()
     steps_done = 0
-    while steps_done < cfg.train_steps:
-        key, sub = jax.random.split(key)
-        state, m = chunk(state, sub)
-        steps_done += args.logging_steps
-        t_now = time.perf_counter()
-        rec = {k: float(np.asarray(v)[-1]) for k, v in m.items()}
-        rec.update(step=steps_done, dt=(t_now - t_prev) / args.logging_steps)
-        t_prev = t_now
-
-        # periodic tunneling diagnostics + dynamic schedule adaptation
-        # (mog_model.py:971-1010)
-        if modes is not None and steps_done % args.tunneling_rate_steps < args.logging_steps:
+    try:
+        while steps_done < cfg.train_steps:
             key, sub = jax.random.split(key)
-            xs, probs = sample(state.params, state.x, sub, 200)
-            rates = [
-                stats.tunneling_rate(np.asarray(xs)[:, c], modes)
-                for c in range(min(16, xs.shape[1]))
-            ]
-            jk_mean, jk_err = stats.jackknife(np.asarray(rates), num_blocks=4)
-            rec["tunneling_rate"] = jk_mean
-            if args.annealing:
-                state = state._replace(
-                    temp=schedules.adapt_temperature_schedule(
-                        state.temp, jnp.asarray(jk_mean)
+            state, m = chunk(state, sub)
+            steps_done += args.logging_steps
+            t_now = time.perf_counter()
+            rec = {k: float(np.asarray(v)[-1]) for k, v in m.items()}
+            rec.update(step=steps_done, dt=(t_now - t_prev) / args.logging_steps)
+            t_prev = t_now
+
+            # periodic tunneling diagnostics + dynamic schedule adaptation
+            # (mog_model.py:971-1010)
+            if modes is not None and steps_done % args.tunneling_rate_steps < args.logging_steps:
+                key, sub = jax.random.split(key)
+                xs, probs = sample(state.params, state.x, sub, 200)
+                rates = [
+                    stats.tunneling_rate(np.asarray(xs)[:, c], modes)
+                    for c in range(min(16, xs.shape[1]))
+                ]
+                jk_mean, jk_err = stats.jackknife(np.asarray(rates), num_blocks=4)
+                rec["tunneling_rate"] = jk_mean
+                if args.annealing:
+                    state = state._replace(
+                        temp=schedules.adapt_temperature_schedule(
+                            state.temp, jnp.asarray(jk_mean)
+                        )
                     )
-                )
-            log(f"  tunneling rate: {jk_mean:.4f} +- {jk_err:.4f}")
-        logger.write(rec)
+                log(f"  tunneling rate: {jk_mean:.4f} +- {jk_err:.4f}")
+            logger.write(rec)
+    except (KeyboardInterrupt, SystemExit):
+        # save-and-exit on interrupt/SIGTERM (mog_model.py:1015-1022)
+        log(f"interrupted at step {steps_done}; checkpointing...")
+        ckpt.save_checkpoint(run_dir / "checkpoints", state, steps_done)
+        logger.close()
+        raise
 
     # final eval: ESS + moments (+ HMC comparison)
     key, k1, k2 = jax.random.split(key, 3)

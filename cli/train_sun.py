@@ -73,8 +73,11 @@ def main(argv=None):
         plaq_trace_distance,
     )
     from l2hmc_tpu.lattice.sun import random_sun, sun_plaquette
-    from l2hmc_tpu.utils.io import MetricsLogger, make_run_dir, log
+    from l2hmc_tpu.utils.io import (
+        MetricsLogger, install_sigterm_handler, make_run_dir, log,
+    )
 
+    install_sigterm_handler()
     run_dir = make_run_dir(args.log_dir)
     (run_dir / "params.json").write_text(json.dumps(vars(args), indent=2))
     logger = MetricsLogger(run_dir)
@@ -167,15 +170,25 @@ def main(argv=None):
 
         t0 = time.time()
         done = 0
-        while done < args.train_steps:
-            key, sub = jax.random.split(key)
-            params, opt_state, u, m = train_chunk(params, opt_state, u, sub)
-            done += chunk_len
-            rec = {k_: float(v) for k_, v in m.items()}
-            rec.update(step=done, wall_s=round(time.time() - t0, 2))
-            logger.write(rec)
-            log(f"step {done}: loss={rec['loss']:.3f} "
-                f"acc={rec['accept_prob']:.3f} eps={rec['eps']:.4f}")
+        try:
+            while done < args.train_steps:
+                key, sub = jax.random.split(key)
+                params, opt_state, u, m = train_chunk(params, opt_state, u, sub)
+                done += chunk_len
+                rec = {k_: float(v) for k_, v in m.items()}
+                rec.update(step=done, wall_s=round(time.time() - t0, 2))
+                logger.write(rec)
+                log(f"step {done}: loss={rec['loss']:.3f} "
+                    f"acc={rec['accept_prob']:.3f} eps={rec['eps']:.4f}")
+        except (KeyboardInterrupt, SystemExit):
+            # save-and-exit on interrupt/SIGTERM (gauge_model.py:1295-1301)
+            from l2hmc_tpu.train import checkpoint as ckpt
+
+            log(f"interrupted at step {done}; checkpointing...")
+            ckpt.save_checkpoint(run_dir / "checkpoints",
+                                 {"params": params, "links": u}, done)
+            logger.close()
+            raise
 
     # evaluation (trained kernel, or plain HMC with --hmc)
     @jax.jit

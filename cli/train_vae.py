@@ -44,6 +44,10 @@ def build_parser():
     p.add_argument("--leapfrogs", type=int, default=5)
     p.add_argument("--MH", type=int, default=2,
                    help="sequential L2HMC transitions per step")
+    p.add_argument("--random_lf_composition", type=int, default=0,
+                   help="each MH step composes a random 1..N full leapfrog "
+                        "integrations before one accept (reference "
+                        "utils/sampler.py:61-93 chain_operator; 0=off)")
     p.add_argument("--batch_size", type=int, default=256)
     p.add_argument("--latent_dim", type=int, default=8)
     p.add_argument("--eps", type=float, default=0.1)
@@ -76,8 +80,12 @@ def main(argv=None):
         VAEConfig, ais_log_likelihood, load_digits_binarized,
         make_vae_train_step, posterior_sampler_autocovariance,
     )
-    from l2hmc_tpu.utils.io import MetricsLogger, log, make_run_dir, save_params_json
+    from l2hmc_tpu.utils.io import (
+        MetricsLogger, install_sigterm_handler, log, make_run_dir,
+        save_params_json,
+    )
 
+    install_sigterm_handler()
     if args.data:
         data = np.load(args.data).astype(np.float32)
     else:
@@ -92,6 +100,7 @@ def main(argv=None):
         enc_hidden=args.enc_hidden, dec_hidden=args.dec_hidden,
         num_steps=args.leapfrogs, mh_steps=args.MH, eps_init=args.eps,
         sampler_hidden=args.sampler_hidden,
+        random_lf_composition=args.random_lf_composition,
         lr_elbo=args.learning_rate, lr_sampler=args.learning_rate,
         lr_decoder=args.learning_rate,
     )
@@ -114,23 +123,32 @@ def main(argv=None):
     steps_per_epoch = max(1, len(train) // args.batch_size)
     step = 0
     t_prev = time.perf_counter()
-    for epoch in range(args.epoch):
-        order = rng.permutation(len(train))
-        for i in range(steps_per_epoch):
-            batch = train[order[i * args.batch_size:(i + 1) * args.batch_size]]
-            if len(batch) < args.batch_size:  # static shapes under jit
-                batch = np.concatenate(
-                    [batch, train[: args.batch_size - len(batch)]])
-            key, sub = jax.random.split(key)
-            state, aux = train_step(state, batch, sub)
-            step += 1
-            if step % args.logging_steps == 0:
-                t_now = time.perf_counter()
-                rec = {k: float(np.asarray(v)) for k, v in aux.items()}
-                rec.update(step=step, epoch=epoch,
-                           dt=(t_now - t_prev) / args.logging_steps)
-                t_prev = t_now
-                logger.write(rec)
+    try:
+        for epoch in range(args.epoch):
+            order = rng.permutation(len(train))
+            for i in range(steps_per_epoch):
+                batch = train[order[i * args.batch_size:(i + 1) * args.batch_size]]
+                if len(batch) < args.batch_size:  # static shapes under jit
+                    batch = np.concatenate(
+                        [batch, train[: args.batch_size - len(batch)]])
+                key, sub = jax.random.split(key)
+                state, aux = train_step(state, batch, sub)
+                step += 1
+                if step % args.logging_steps == 0:
+                    t_now = time.perf_counter()
+                    rec = {k: float(np.asarray(v)) for k, v in aux.items()}
+                    rec.update(step=step, epoch=epoch,
+                               dt=(t_now - t_prev) / args.logging_steps)
+                    t_prev = t_now
+                    logger.write(rec)
+    except (KeyboardInterrupt, SystemExit):
+        # save-and-exit on interrupt/SIGTERM (gauge_model.py:1295-1301)
+        from l2hmc_tpu.train import checkpoint as ckpt
+
+        log(f"interrupted at step {step}; checkpointing...")
+        ckpt.save_checkpoint(run_dir / "checkpoints", state, step)
+        logger.close()
+        raise
 
     # post-training evals (mnist_vae.py:338-347 spawns these as scripts)
     key, k1, k2 = jax.random.split(key, 3)

@@ -78,17 +78,29 @@ def integrated_time(x: np.ndarray, c: float = 5.0, tol: float = 50.0) -> Tuple[f
 
 
 def batch_means_ess(x: np.ndarray, num_batches: int = 20) -> float:
-    """Batch-means ESS estimator — robust cross-check for short chains."""
+    """Batch-means effective sample size — cross-check for the FFT/Sokal
+    estimators (``calc_ess`` / ``integrated_time``).
+
+    Split the chain into ``num_batches`` contiguous batches of size ``b``.
+    For ``b >> tau_int`` the batch means are approximately independent with
+    variance ``sigma2_asym / b`` where ``sigma2_asym = var(x) * 2 tau_int``
+    is the asymptotic variance, so
+
+        ESS = T * var(x) / sigma2_asym ~= T * var(x) / (b * var(batch means)).
+
+    Returns an absolute ESS in ``[1, T]`` (not a per-sample ratio).
+    """
     x = np.asarray(x, np.float64)
-    t = len(x) // num_batches * num_batches
-    if t < num_batches:
+    b = len(x) // num_batches
+    if b < 2:
         return float(len(x))
-    b = x[:t].reshape(num_batches, -1).mean(axis=1)
-    var_b = b.var(ddof=1)
+    t = b * num_batches
+    means = x[:t].reshape(num_batches, b).mean(axis=1)
+    var_b = means.var(ddof=1)
     var_x = x[:t].var(ddof=1)
-    if var_b == 0:
+    if var_b == 0.0 or var_x == 0.0:
         return float(t)
-    return float(t * var_x / (var_b * (t // num_batches)) / num_batches * num_batches / (t // num_batches)) if False else float(min(t, t * var_x / (t // num_batches * var_b)))
+    return float(np.clip(t * var_x / (b * var_b), 1.0, t))
 
 
 def jackknife(samples: np.ndarray, num_blocks: int = 10) -> Tuple[float, float]:

@@ -218,10 +218,51 @@ def gen_ring(r: float = 1.0, var: float = 1.0, nb_mixtures: int = 2) -> GMM:
 
 
 def gmm_axes(dim: int, sep: float = 2.0, var: float = 0.1) -> GMM:
-    """Two-component mixture separated along the first axis — the default MoG
-    arrangement of ``mog_model.py:1063-1112``."""
+    """Two-component mixture separated along the first axis.
+
+    NOTE on naming vs the reference: this matches the reference's
+    ``single_axis`` arrangement (``mog_model.py:1086-1096`` — pair at
+    ``+-centers`` on one axis), which is the configuration the MoG
+    tunneling experiments actually use.  The reference's ``axes``
+    arrangement (one mode per coordinate axis) is ``gmm_one_per_axis``.
+    Kept under this name for backward compatibility with round-1 runs.
+    """
+    return gmm_single_axis(dim, sep=sep, var=var)
+
+
+def gmm_single_axis(dim: int, sep: float = 2.0, var: float = 0.1) -> GMM:
+    """Pair of Gaussians at ``+-sep`` along the first axis — the reference's
+    ``single_axis`` arrangement (``mog_model.py:1086-1096``; the reference
+    fixes ``rand_axis = 0`` too)."""
     mus = np.zeros((2, dim), np.float32)
     mus[0, 0] = sep
     mus[1, 0] = -sep
+    sigmas = np.tile(var * np.eye(dim, dtype=np.float32), (2, 1, 1))
+    return GMM.create(mus, sigmas, np.array([0.5, 0.5], np.float32))
+
+
+def gmm_one_per_axis(
+    dim: int, sep: float = 2.0, var: float = 0.1, num_modes: int = 0
+) -> GMM:
+    """One Gaussian centered at ``sep`` on each coordinate axis — the
+    reference's default ``axes`` arrangement (``mog_model.py:1040-1068``:
+    ``means = diag(centers)``; if ``num_modes < dim`` the first
+    ``num_modes`` axes are reused cyclically)."""
+    num_modes = num_modes or dim
+    mus = np.zeros((num_modes, dim), np.float32)
+    for i in range(num_modes):
+        mus[i, i % dim] = sep
+    sigmas = np.tile(var * np.eye(dim, dtype=np.float32), (num_modes, 1, 1))
+    pis = np.full((num_modes,), 1.0 / num_modes, np.float32)
+    return GMM.create(mus, sigmas, pis)
+
+
+def gmm_diagonal(dim: int, sep: float = 2.0, var: float = 0.1) -> GMM:
+    """Pair of Gaussians at ``+-sep * (1, ..., 1)`` — the reference's
+    ``diagonal`` arrangement (``mog_model.py:1098-1103``: rows alternate
+    ``+centers`` / ``-centers`` in every coordinate)."""
+    mus = np.stack(
+        [np.full((dim,), sep, np.float32), np.full((dim,), -sep, np.float32)]
+    )
     sigmas = np.tile(var * np.eye(dim, dtype=np.float32), (2, 1, 1))
     return GMM.create(mus, sigmas, np.array([0.5, 0.5], np.float32))

@@ -63,6 +63,11 @@ class VAEConfig:
     mh_steps: int = 2           # sequential transitions (hps.MH)
     eps_init: float = 0.1
     sampler_hidden: int = 64
+    # > 0: each MH step composes a random number (1..N) of full leapfrog
+    # integrations before its single accept — the reference's
+    # ``random_lf_composition`` mode (``utils/sampler.py:61-93``,
+    # ``vae/mnist_vae.py:185-224``); 0 = plain sequential transitions
+    random_lf_composition: int = 0
     # optimization
     lr_elbo: float = 1e-3
     lr_sampler: float = 1e-3
@@ -159,7 +164,12 @@ def build_vae(cfg: VAEConfig):
         probs, jumps = [], []
         for i in range(cfg.mh_steps):
             key, sub = jax.random.split(key)
-            out = dyn["transition"](params.dynamics, z, 1.0, sub, aux=x_batch)
+            if cfg.random_lf_composition > 0:
+                out = dyn["chain_operator"](
+                    params.dynamics, z, 1.0, sub,
+                    max_compositions=cfg.random_lf_composition, aux=x_batch)
+            else:
+                out = dyn["transition"](params.dynamics, z, 1.0, sub, aux=x_batch)
             probs.append(out.accept_prob)
             jumps.append(jnp.sum(jnp.square(out.x_proposed - z), axis=-1))
             z = out.x_out
@@ -270,14 +280,30 @@ def ais_log_likelihood(
 
     k0, key = jax.random.split(key)
     z0 = jax.random.normal(k0, (x_batch.shape[0], cfg.latent_dim))
-    # log Z0 of the standard normal prior = (d/2) log 2pi
-    log_z0 = 0.5 * cfg.latent_dim * jnp.log(2 * jnp.pi)
     logw = ais_log_weights(key, z0, e0, e1, num_betas=num_betas, eps=eps,
                            num_leapfrog=5)
-    # here chains are per-datum, so the weights themselves estimate
-    # log p(x_i) (no mean over chains; Z ratio absorbs the prior normalizer
-    # which cancels the Gaussian-measure factor of the BCE likelihood).
+    # AIS weights estimate log(Z1/Z0) per chain (one chain per datum).
+    # Z0 = integral exp(-|z|^2/2) dz = (2pi)^(d/2), and
+    # Z1 = integral p(x|z) exp(-|z|^2/2) dz = (2pi)^(d/2) * p(x),
+    # so the (2pi)^(d/2) factors cancel exactly and logw estimates
+    # log p(x_i) with NO additive normalization — verified against the
+    # closed-form linear-Gaussian decoder in tests/test_vae.py.
     return logw
+
+
+def normal_kl(q_means, q_stddevs, p_means, p_stddevs):
+    """KL(q || p) between diagonal normals, summed over the last axis
+    (``utils/func_utils.py:77-96``; the reference's VAE-lineage helper).
+
+    The ``log(2 pi)`` terms cancel between the entropy and cross-entropy.
+    """
+    q_entropy = 0.5 + jnp.log(q_stddevs)
+    cross = (
+        0.5 * jnp.square(q_stddevs / p_stddevs)
+        + 0.5 * jnp.square((q_means - p_means) / p_stddevs)
+        + jnp.log(p_stddevs)
+    )
+    return jnp.sum(cross - q_entropy, axis=-1)
 
 
 def posterior_sampler_autocovariance(

@@ -22,6 +22,23 @@ def is_primary() -> bool:
     return jax.process_index() == 0
 
 
+def install_sigterm_handler():
+    """Convert SIGTERM into KeyboardInterrupt so every training CLI falls
+    through to its save-on-interrupt path.
+
+    The reference only handles interactive interrupts
+    (``gauge_model.py:1295-1301`` catches KeyboardInterrupt/SystemExit);
+    a ``timeout``-killed run (the segmented-marathon pattern) sends SIGTERM
+    and would lose the tail.  Installed by all train CLIs.
+    """
+    import signal
+
+    def _sigterm(signum, frame):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _sigterm)
+
+
 def log(*args, **kwargs):
     """Host-0-gated print (``utils/file_io.py:27-38``)."""
     if is_primary():

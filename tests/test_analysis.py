@@ -37,6 +37,25 @@ def test_ess_iid():
     assert stats.calc_ess(x) > 0.8
 
 
+def test_batch_means_ess_ar1():
+    """Batch-means ESS on AR(1) matches the analytic T*(1-rho)/(1+rho)."""
+    rho = 0.9
+    n = 400_000
+    x = ar1(n, rho)
+    ess = stats.batch_means_ess(x, num_batches=100)
+    expected = n * (1 - rho) / (1 + rho)
+    np.testing.assert_allclose(ess, expected, rtol=0.3)
+
+
+def test_batch_means_ess_iid_and_edges():
+    x = np.random.default_rng(4).normal(size=20_000)
+    ess = stats.batch_means_ess(x, num_batches=50)
+    assert ess > 0.5 * len(x)
+    # degenerate inputs stay finite and bounded
+    assert stats.batch_means_ess(np.ones(100)) == 100.0
+    assert stats.batch_means_ess(np.arange(3.0)) == 3.0
+
+
 def test_integrated_time_ar1():
     """tau_int of AR(1) = (1+rho)/(1-rho)."""
     rho = 0.7

@@ -88,6 +88,39 @@ def test_gmm_sampling_modes(key):
     np.testing.assert_allclose(np.abs(s[:, 0]).mean(), 3.0, atol=0.05)
 
 
+def test_gmm_arrangements(key):
+    """Reference mean-arrangement zoo (mog_model.py:1040-1112):
+    single_axis / axes (one per axis) / diagonal."""
+    from l2hmc_tpu.targets import gmm_diagonal, gmm_one_per_axis, gmm_single_axis
+
+    sa = gmm_single_axis(4, sep=2.0, var=0.1)
+    np.testing.assert_allclose(
+        np.asarray(sa.mus), [[2, 0, 0, 0], [-2, 0, 0, 0]])
+    # gmm_axes stays the backward-compatible alias of single_axis
+    np.testing.assert_allclose(np.asarray(gmm_axes(4, sep=2.0).mus),
+                               np.asarray(sa.mus))
+
+    ax = gmm_one_per_axis(3, sep=1.5, var=0.1)
+    np.testing.assert_allclose(
+        np.asarray(ax.mus), 1.5 * np.eye(3))
+    ax5 = gmm_one_per_axis(3, sep=1.5, num_modes=5)
+    assert ax5.mus.shape == (5, 3)
+    np.testing.assert_allclose(np.asarray(ax5.mus[3]), [1.5, 0, 0])
+
+    dg = gmm_diagonal(3, sep=2.0, var=0.1)
+    np.testing.assert_allclose(
+        np.asarray(dg.mus), [[2, 2, 2], [-2, -2, -2]])
+
+    # each is a proper normalized mixture: sampling hits every mode
+    for t in (sa, ax, dg):
+        s = np.asarray(t.sample(key, 20_000))
+        modes = np.argmin(
+            ((s[:, None, :] - np.asarray(t.mus)[None]) ** 2).sum(-1), axis=1)
+        counts = np.bincount(modes, minlength=len(t.mus)) / len(s)
+        np.testing.assert_allclose(counts, 1.0 / len(t.mus), atol=0.03)
+        assert np.isfinite(np.asarray(t.energy(jnp.asarray(s[:64])))).all()
+
+
 def test_ring(key):
     ring = gen_ring(r=2.0, var=0.1, nb_mixtures=6)
     assert ring.mus.shape == (6, 2)
