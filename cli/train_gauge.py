@@ -62,6 +62,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--std_weight", type=float, default=1.0)
     p.add_argument("--aux_weight", type=float, default=1.0)
     p.add_argument("--charge_weight", type=float, default=1.0)
+    p.add_argument("--charge_reward", action="store_true",
+                   help="flip the charge term to REWARD accepted charge "
+                        "movement (loss -= w*px*dq); default keeps the "
+                        "reference's literal penalizing sign "
+                        "(gauge_model.py:783-795)")
+    p.add_argument("--ref_z_term", action="store_true",
+                   help="literal reference z-term dataflow: z std/charge "
+                        "terms computed against the X-chain proposal "
+                        "(gauge_model.py:776,788); default uses the z "
+                        "proposal")
     # optimization / annealing
     p.add_argument("--lr_init", type=float, default=1e-3)
     p.add_argument("--lr_decay_steps", type=int, default=1000)
@@ -120,6 +130,7 @@ def flags_to_config(a):
         num_hidden=a.num_hidden, num_filters=a.num_filters, use_bf16=a.bf16,
         metric=a.metric, loss_scale=a.loss_scale, std_weight=a.std_weight,
         aux_weight=a.aux_weight, charge_weight=a.charge_weight,
+        charge_reward=a.charge_reward, ref_z_term=a.ref_z_term,
         lr_init=a.lr_init, lr_decay_steps=a.lr_decay_steps,
         lr_decay_rate=a.lr_decay_rate, clip_value=a.clip_value,
         train_steps=a.train_steps, beta_init=a.beta_init,

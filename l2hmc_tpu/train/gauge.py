@@ -82,6 +82,17 @@ class GaugeConfig:
     std_weight: float = 1.0
     aux_weight: float = 1.0
     charge_weight: float = 1.0
+    # flip the charge term to reward accepted charge movement
+    # (loss -= charge_weight * px * dq) instead of the reference's literal
+    # penalizing sign (gauge_model.py:783-795) — see losses.charge_loss
+    charge_reward: bool = False
+    # literal reference z-term dataflow: the reference computes BOTH the
+    # z std-loss and the z charge term against the X-chain proposal
+    # (metric_fn(z, x_) at gauge_model.py:776 and diff(z, x_) at :788),
+    # almost certainly a typo for the z-chain proposal.  Default False uses
+    # the z proposal (the paper's auxiliary-term semantics); True reproduces
+    # the reference bit-for-bit for differential studies.
+    ref_z_term: bool = False
     # optimization
     lr_init: float = 1e-3
     lr_decay_steps: int = 1000
@@ -253,23 +264,24 @@ def make_loss_fn(cfg: GaugeConfig, dyn):
         z = jax.random.normal(kzi, x.shape, x.dtype)
         out_z = dyn["transition"](params, z, beta, kz)
 
+        # ref_z_term: literal reference dataflow computes the z-terms
+        # against the X-chain proposal (gauge_model.py:776,788); default
+        # uses the z-chain proposal.  See GaugeConfig.ref_z_term.
+        z_prop = out_x.x_proposed if cfg.ref_z_term else out_z.x_proposed
+
         loss = losses.esjd_loss(
             x, out_x.x_proposed, out_x.accept_prob,
-            z, out_z.x_proposed, out_z.accept_prob,
+            z, z_prop, out_z.accept_prob,
             metric_fn=metric_fn, loss_scale=cfg.loss_scale,
             aux_weight=cfg.aux_weight, std_weight=cfg.std_weight,
         )
         if cfg.charge_weight > 0:
             dq_x = u1.charge_diff_approx(x, out_x.x_proposed, shape)
-            # NOTE: the reference computes the z charge term against the
-            # x-chain proposal (``z_dq_fft = diff(z, x_)``,
-            # gauge_model.py:788) — almost certainly a typo for the z-chain
-            # proposal.  We use the z proposal; set charge_weight=0 to
-            # remove the term entirely.
-            dq_z = u1.charge_diff_approx(z, out_z.x_proposed, shape)
+            dq_z = u1.charge_diff_approx(z, z_prop, shape)
             loss = loss + losses.charge_loss(
                 dq_x, out_x.accept_prob, dq_z, out_z.accept_prob,
                 charge_weight=cfg.charge_weight, aux_weight=cfg.aux_weight,
+                reward=cfg.charge_reward,
             )
 
         aux = {

@@ -79,20 +79,26 @@ def charge_loss(
     z_accept_prob: jax.Array,
     charge_weight: float = 1.0,
     aux_weight: float = 1.0,
+    reward: bool = False,
 ) -> jax.Array:
     """Topological-charge loss (``gauge_model.py:783-795``).
 
     ``dq_*`` are |Q(x) - Q(x')| computed with the *differentiable* Fourier
-    surrogate.  NOTE the reference sign convention: the loss *rewards* charge
-    movement by ... actually it *adds* ``px * dq``, i.e. maximizing dq
-    requires the negative; the reference adds it positively but then the
-    total loss is minimized — reproducing the reference exactly: loss +=
-    charge_weight * mean(px*dq_x + aux*pz*dq_z).  (The fork's intent is
-    debated; we keep parity and expose the weight's sign to the user.)
+    surrogate.
+
+    Sign convention: the reference ADDS ``charge_weight * (px*dq + eps)`` to
+    a loss that is then minimized — i.e. it *penalizes* accepted charge
+    movement (``benchmarks/charge_mixing.py`` measured exactly that:
+    raising charge_weight 1->5 drops tunneling 0.0233->0.0194).  The fork's
+    stated intent is the opposite.  ``reward=True`` flips the term to
+    ``loss -= charge_weight * mean(px*dq)`` so maximizing the loss decrease
+    rewards tunneling; the A/B study is in RESULTS.md and the winning
+    convention is selected by ``GaugeConfig.charge_reward``.
     """
     xq = accept_prob * dq_x + LOSS_EPS
     zq = aux_weight * (z_accept_prob * dq_z + LOSS_EPS)
-    return charge_weight * jnp.mean(xq + zq)
+    sign = -1.0 if reward else 1.0
+    return sign * charge_weight * jnp.mean(xq + zq)
 
 
 # ---------------------------------------------------------------------------

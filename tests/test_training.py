@@ -132,6 +132,65 @@ def test_gauge_eval_plaquette_near_oracle(key):
     assert acc > 0.5
 
 
+def test_loss_z_term_parity_modes(key):
+    """Differential test of the loss dataflow flags.
+
+    The reference computes the z std/charge terms against the X-chain
+    proposal (gauge_model.py:776,788).  Verify both modes against a manual
+    reconstruction from the same transitions, and that charge_reward flips
+    exactly the charge term's sign.
+    """
+    from l2hmc_tpu.train import losses
+    from l2hmc_tpu.train.gauge import build_dynamics, make_loss_fn
+
+    base = GaugeConfig(time_size=4, space_size=4, num_chains=16, num_steps=2,
+                       network_arch="mlp", num_hidden=16)
+    state = init_train_state(base, key)
+    x = state.x
+    beta, lkey = 2.0, jax.random.fold_in(key, 7)
+
+    def manual_loss(cfg):
+        """Reconstruct loss_fn's value with the same key splits."""
+        _, dyn, _ = build_dynamics(cfg)
+        kx, kz, kzi = jax.random.split(lkey, 3)
+        out_x = dyn["transition"](state.params, x, beta, kx)
+        z = jax.random.normal(kzi, x.shape, x.dtype)
+        out_z = dyn["transition"](state.params, z, beta, kz)
+        z_prop = out_x.x_proposed if cfg.ref_z_term else out_z.x_proposed
+        metric = losses.get_metric_fn(cfg.metric)
+        l = losses.esjd_loss(
+            x, out_x.x_proposed, out_x.accept_prob,
+            z, z_prop, out_z.accept_prob,
+            metric_fn=metric, loss_scale=cfg.loss_scale,
+            aux_weight=cfg.aux_weight, std_weight=cfg.std_weight)
+        dq_x = u1.charge_diff_approx(x, out_x.x_proposed, cfg.shape)
+        dq_z = u1.charge_diff_approx(z, z_prop, cfg.shape)
+        charge = losses.charge_loss(
+            dq_x, out_x.accept_prob, dq_z, out_z.accept_prob,
+            charge_weight=cfg.charge_weight, aux_weight=cfg.aux_weight,
+            reward=cfg.charge_reward)
+        return float(l + charge), float(charge)
+
+    for flags in [dict(), dict(ref_z_term=True), dict(charge_reward=True)]:
+        cfg = dataclasses.replace(base, **flags)
+        got, _ = jax.jit(
+            lambda p, x, k: make_loss_fn(cfg, build_dynamics(cfg)[1])(
+                p, x, beta, k))(state.params, x, lkey)
+        want, _ = manual_loss(cfg)
+        np.testing.assert_allclose(float(got), want, rtol=1e-5), flags
+
+    l_default, _ = manual_loss(base)
+    l_ref, _ = manual_loss(dataclasses.replace(base, ref_z_term=True))
+    assert l_default != l_ref, "ref_z_term mode must change the loss"
+
+    # reward mode flips exactly the charge term
+    l_parity, c_parity = manual_loss(base)
+    l_reward, c_reward = manual_loss(
+        dataclasses.replace(base, charge_reward=True))
+    np.testing.assert_allclose(c_reward, -c_parity, rtol=1e-6)
+    np.testing.assert_allclose(l_parity - l_reward, 2 * c_parity, rtol=1e-4)
+
+
 def test_beta_annealing_schedule():
     from l2hmc_tpu.train.schedules import beta_schedule
 
