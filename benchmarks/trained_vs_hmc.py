@@ -1,0 +1,250 @@
+#!/usr/bin/env python
+"""Trained L2HMC vs tuned HMC, cost-normalized, on U(1) 16x16 at beta=4.
+
+The round-1 verdict: the trained kernel won per-step (1.14x plaq ESS) but
+lost per wall-second because the S/T/Q conditioner networks were ~62% of
+transition time.  This benchmark is the head-to-head harness for closing
+that gap: it trains an L2HMC kernel at an arbitrary conditioner size /
+integrator config, then measures BOTH samplers' effective samples per
+second on the SAME eval harness (``make_eval_chunk`` XLA scan) from the
+same thermalized state:
+
+  - plaquette ESS/s (the generic-observable metric), and
+  - topological-charge ESS/s + tunneling rate (the fork's headline claim,
+    reference ``gauge_model.py:766-795`` charge loss / ``charge_diff_op``
+    ``:849-851``).
+
+HMC runs at its own joint (K, eps) ESS/s optimum (K=5, eps=0.08 from the
+round-1 sweep, ``benchmarks/hmc_ess_sweep.py``) unless overridden — the
+comparison credits HMC its cheaper transition and its best settings.
+
+Usage:
+  python benchmarks/trained_vs_hmc.py --arch mlp --num_hidden 64 \
+      --merge_v --num_steps 5 --train_steps 3000
+  python benchmarks/trained_vs_hmc.py --params_from runs/h2h/xyz.npz  # re-eval
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+import numpy as np
+
+
+def _trace(msg):
+    print(f"[h2h {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
+def run_eval(cfg, params, x, beta, key, num_steps, chunk_size=1000):
+    """Timed eval on the shared harness: returns traces + wall seconds."""
+    from l2hmc_tpu.train.gauge import make_eval_chunk
+
+    chunk = make_eval_chunk(cfg, chunk_size)
+    # compile + warm outside the timed region
+    x, m = chunk(params, x, beta, key)
+    float(np.asarray(m["charges"]).sum())
+    plaqs, charges, accepts = [], [], []
+    t0 = time.perf_counter()
+    done = 0
+    while done < num_steps:
+        key, sub = jax.random.split(key)
+        x, m = chunk(params, x, beta, sub)
+        done += chunk_size
+        plaqs.append(np.asarray(m["plaqs"]))
+        charges.append(np.asarray(m["charges"]))
+        accepts.append(np.asarray(m["accept_prob"]))
+    # drain: the appends above already pulled device->host
+    wall = time.perf_counter() - t0
+    return (np.concatenate(plaqs), np.concatenate(charges),
+            float(np.concatenate(accepts).mean()), wall, x)
+
+
+def trace_stats(arr, wall, max_chains=64):
+    """ESS ratio / tau_int / eff-samples-per-second for a (T, chains) trace."""
+    from l2hmc_tpu.analysis import stats
+
+    cols = range(min(max_chains, arr.shape[1]))
+    ess = float(np.mean([stats.calc_ess(arr[:, c]) for c in cols]))
+    taus = [stats.integrated_time(arr[:, c]) for c in cols]
+    return {
+        "ess_ratio": round(ess, 5),
+        "tau_int": round(float(np.mean([t for t, _ in taus])), 2),
+        "tau_reliable_frac": round(float(np.mean([ok for _, ok in taus])), 2),
+        "eff_samples_per_s": round(ess * arr.shape[0] * arr.shape[1] / wall, 1),
+        "steps_per_s": round(arr.shape[0] / wall, 1),
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    # trained-kernel config
+    p.add_argument("--arch", default="conv", choices=["conv", "mlp"])
+    p.add_argument("--num_filters", type=int, default=8)
+    p.add_argument("--num_hidden", type=int, default=0, help="0 -> 2*x_dim")
+    p.add_argument("--num_steps", type=int, default=3, help="leapfrog steps K")
+    p.add_argument("--merge_v", action="store_true")
+    p.add_argument("--charge_reward", action="store_true")
+    p.add_argument("--charge_weight", type=float, default=1.0)
+    p.add_argument("--eps_init", type=float, default=0.35)
+    p.add_argument("--eps_cap", type=float, default=0.0)
+    p.add_argument("--train_steps", type=int, default=5000)
+    p.add_argument("--num_chains", type=int, default=128)
+    p.add_argument("--eval_chains", type=int, default=0,
+                   help="chains for the timed eval (0 = same as training)")
+    # HMC baseline at its own optimum (round-1 joint sweep)
+    p.add_argument("--hmc_eps", type=float, default=0.08)
+    p.add_argument("--hmc_num_steps", type=int, default=5)
+    # protocol
+    p.add_argument("--size", type=int, default=16)
+    p.add_argument("--eval_steps", type=int, default=6000)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--save_params", default="",
+                   help="npz path to save trained params + config json")
+    p.add_argument("--params_from", default="",
+                   help="skip training; load params from a --save_params npz")
+    p.add_argument("--label", default="")
+    args = p.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from l2hmc_tpu.lattice import u1
+    from l2hmc_tpu.train import checkpoint as ckpt
+    from l2hmc_tpu.train.gauge import (
+        GaugeConfig, init_train_state, make_train_chunk,
+    )
+
+    cfg = GaugeConfig(
+        time_size=args.size, space_size=args.size,
+        num_chains=args.num_chains, num_steps=args.num_steps,
+        network_arch=args.arch, num_filters=args.num_filters,
+        num_hidden=args.num_hidden, train_steps=args.train_steps,
+        charge_weight=args.charge_weight, charge_reward=args.charge_reward,
+        merge_v_halves=args.merge_v, eps_init=args.eps_init,
+        eps_cap=args.eps_cap,
+    )
+    key = jax.random.PRNGKey(args.seed)
+    _trace(f"devices: {jax.devices()}")
+
+    state = init_train_state(cfg, key)
+    if args.params_from:
+        state = ckpt.restore_checkpoint(args.params_from, state)
+        _trace(f"restored params from {args.params_from} "
+               f"(step {int(state.step)})")
+        train_wall = 0.0
+    else:
+        chunk = make_train_chunk(cfg, 250)
+        _trace(f"training {cfg.train_steps} steps "
+               f"(arch={args.arch} filters={args.num_filters} "
+               f"hidden={cfg.hidden} K={args.num_steps} "
+               f"merge_v={args.merge_v} charge_reward={args.charge_reward})...")
+        t0 = time.perf_counter()
+        for c in range(cfg.train_steps // 250):
+            key, sub = jax.random.split(key)
+            state, m = chunk(state, sub)
+            if c % 4 == 3:
+                _trace(f"  step {int(state.step)}: "
+                       f"acc={float(np.asarray(m['accept_prob'])[-1]):.3f} "
+                       f"plaq={float(np.asarray(m['plaqs'])[-1]):.5f} "
+                       f"eps={float(np.asarray(m['eps'])[-1]):.4f}")
+        train_wall = time.perf_counter() - t0
+        _trace(f"trained in {train_wall:.1f}s wall")
+        if args.save_params:
+            ckpt.save_checkpoint(args.save_params, state, int(state.step), cfg)
+            _trace(f"saved params to {args.save_params}")
+
+    beta = cfg.beta_final
+    eval_chains = args.eval_chains or cfg.num_chains
+    x0 = state.x
+    if eval_chains != cfg.num_chains:
+        # tile/trim the annealed chains to the eval batch
+        reps = int(np.ceil(eval_chains / cfg.num_chains))
+        x0 = jnp.tile(state.x, (reps, 1))[:eval_chains]
+        cfg = dataclasses.replace(cfg, num_chains=eval_chains)
+
+    # --- trained kernel, timed on the shared harness ---
+    key, k1 = jax.random.split(key)
+    plaq_l2, q_l2, acc_l2, wall_l2, x_end = run_eval(
+        cfg, state.params, x0, beta, k1, args.eval_steps)
+    res_l2 = {
+        "sampler": "l2hmc_trained",
+        "accept_prob": round(acc_l2, 4),
+        "plaq": trace_stats(plaq_l2, wall_l2),
+        "charge": trace_stats(q_l2, wall_l2),
+        "tunneling_rate_per_step": round(
+            float(np.abs(np.diff(q_l2, axis=0)).mean()), 5),
+        "plaq_mean": round(float(plaq_l2[args.eval_steps // 4:].mean()), 6),
+        "q2": round(float((q_l2 ** 2).mean()), 3),
+        "wall_s": round(wall_l2, 2),
+    }
+    _trace(json.dumps(res_l2))
+
+    # --- HMC at its own optimum, same thermalized state, same harness ---
+    hmc_cfg = dataclasses.replace(
+        cfg, hmc=True, network_arch="zero", eps_init=args.hmc_eps,
+        eps_trainable=False, num_steps=args.hmc_num_steps,
+        merge_v_halves=False)
+    hmc_state = init_train_state(hmc_cfg, key)
+    key, k2 = jax.random.split(key)
+    plaq_h, q_h, acc_h, wall_h, _ = run_eval(
+        hmc_cfg, hmc_state.params, x_end, beta, k2, args.eval_steps)
+    res_hmc = {
+        "sampler": f"hmc_K{args.hmc_num_steps}_eps{args.hmc_eps}",
+        "accept_prob": round(acc_h, 4),
+        "plaq": trace_stats(plaq_h, wall_h),
+        "charge": trace_stats(q_h, wall_h),
+        "tunneling_rate_per_step": round(
+            float(np.abs(np.diff(q_h, axis=0)).mean()), 5),
+        "plaq_mean": round(float(plaq_h[args.eval_steps // 4:].mean()), 6),
+        "q2": round(float((q_h ** 2).mean()), 3),
+        "wall_s": round(wall_h, 2),
+    }
+    _trace(json.dumps(res_hmc))
+
+    shape = cfg.shape
+    result = {
+        "benchmark": "trained_vs_hmc",
+        "label": args.label,
+        "config": {
+            "size": args.size, "beta": beta, "eval_chains": eval_chains,
+            "eval_steps": args.eval_steps, "arch": args.arch,
+            "num_filters": args.num_filters, "num_hidden": cfg.hidden,
+            "K": args.num_steps, "merge_v": args.merge_v,
+            "charge_reward": args.charge_reward,
+            "charge_weight": args.charge_weight,
+            "train_steps": args.train_steps,
+            "hmc_K": args.hmc_num_steps, "hmc_eps": args.hmc_eps,
+        },
+        "plaq_exact": round(float(u1.u1_plaq_exact(beta)), 6),
+        "q2_exact": round(float(
+            u1.topological_susceptibility_exact(beta, shape.num_plaquettes)), 3),
+        "l2hmc": res_l2,
+        "hmc": res_hmc,
+        "plaq_ess_per_s_ratio": round(
+            res_l2["plaq"]["eff_samples_per_s"]
+            / max(res_hmc["plaq"]["eff_samples_per_s"], 1e-9), 3),
+        "plaq_ess_per_step_ratio": round(
+            res_l2["plaq"]["ess_ratio"]
+            / max(res_hmc["plaq"]["ess_ratio"], 1e-9), 3),
+        "q_ess_per_s_ratio": round(
+            res_l2["charge"]["eff_samples_per_s"]
+            / max(res_hmc["charge"]["eff_samples_per_s"], 1e-9), 3),
+        "tunneling_per_s_ratio": round(
+            (res_l2["tunneling_rate_per_step"] * res_l2["plaq"]["steps_per_s"])
+            / max(res_hmc["tunneling_rate_per_step"]
+                  * res_hmc["plaq"]["steps_per_s"], 1e-9), 3),
+        "train_wall_s": round(train_wall, 1),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -41,6 +41,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eps_fixed", action="store_true", help="freeze step size")
     p.add_argument("--eps_cap", type=float, default=0.0,
                    help="upper bound on trainable eps (0 = unbounded)")
+    p.add_argument("--eps_warmup_steps", type=int, default=0,
+                   help="dual-averaging warmup: adapt eps to the target "
+                        "acceptance for the first N steps, then hand off to "
+                        "gradient training (replaces hand-tuned eps at "
+                        "large volume; don't combine with --eps_cap)")
+    p.add_argument("--eps_target_accept", type=float, default=0.7,
+                   help="acceptance target for --eps_warmup_steps")
     p.add_argument("--hmc", action="store_true", help="plain-HMC mode (zero nets)")
     p.add_argument("--network_arch", default="conv", choices=["conv", "mlp", "zero"])
     p.add_argument("--num_hidden", type=int, default=0, help="0 -> 2*x_dim")
@@ -137,6 +144,8 @@ def flags_to_config(a):
         beta_final=a.beta_final, group=a.group,
         action=a.action, rect_c1=a.rect_c1,
         merge_v_halves=a.merge_v_halves,
+        eps_warmup_steps=a.eps_warmup_steps,
+        eps_target_accept=a.eps_target_accept,
     )
 
 
@@ -174,13 +183,13 @@ def main(argv=None):
     # acceptance cliff tightens with volume — default settings that train
     # fine at L<=64 freeze the chain at larger L
     x_dim = 2 * cfg.time_size * cfg.space_size
-    if not cfg.hmc and x_dim > 16384 and (
-            cfg.lr_init > 5e-5 or cfg.eps_trainable):
+    if (not cfg.hmc and x_dim > 16384 and cfg.eps_warmup_steps == 0
+            and (cfg.lr_init > 5e-5 or cfg.eps_trainable)):
         log(f"WARNING: x_dim={x_dim} with lr_init={cfg.lr_init} and "
             f"eps_trainable={cfg.eps_trainable} — at this volume the "
-            "dead-gradient trap closes easily; the measured working "
-            "recipe at 128x128 is --eps 0.012 --eps_fixed --lr_init 2e-5 "
-            "(RESULTS.md)")
+            "dead-gradient trap closes easily; use --eps_warmup_steps "
+            "(dual-averaging warmup finds the stable eps automatically) "
+            "and a small lr (e.g. --lr_init 2e-5, RESULTS.md)")
 
     state = init_train_state(cfg, key)
     start_step = 0

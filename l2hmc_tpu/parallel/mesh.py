@@ -84,6 +84,7 @@ def shard_train_state(state, mesh: Mesh):
             opt_state=jax.device_put(state.opt_state, rep),
             x=jax.device_put(state.x, chains),
             step=jax.device_put(state.step, rep),
+            da=jax.device_put(state.da, rep),
         )
     )
 
@@ -97,6 +98,7 @@ def train_state_shardings(state, mesh: Mesh):
         opt_state=jax.tree.map(lambda _: rep, state.opt_state),
         x=chains,
         step=rep,
+        da=jax.tree.map(lambda _: rep, state.da),
     )
 
 

@@ -121,6 +121,17 @@ class GaugeConfig:
     # oracle I1/I0(beta) applies to the Wilson action only.
     action: str = "wilson"
     rect_c1: float = -1.0 / 12.0     # rectangle coefficient for 'improved'
+    # > 0: for the first N steps, drive eps by Nesterov dual averaging on
+    # the mean acceptance (dynamics/nuts.py dual_averaging_update) instead
+    # of the ESJD gradient; at handoff raw_eps is set to the smoothed
+    # exp(log_eps_avg) and gradient training takes over.  This replaces the
+    # hand-found large-volume recipes (e.g. the 128x128 fixed eps=0.012):
+    # the acceptance cliff tightens with volume and a wrong eps_init lands
+    # in the zero-acceptance dead-gradient trap before the ESJD gradient
+    # can correct it.  Don't combine with eps_cap (the cap starves the
+    # feedback loop once acceptance saturates above target).
+    eps_warmup_steps: int = 0
+    eps_target_accept: float = 0.7
 
     @property
     def shape(self) -> u1.LatticeShape:
@@ -144,6 +155,9 @@ class TrainState(NamedTuple):
     opt_state: Any
     x: jax.Array          # (num_chains, x_dim) current chain state
     step: jax.Array       # int32
+    # dual-averaging warmup state for eps (4 scalars; active only while
+    # step < cfg.eps_warmup_steps — see GaugeConfig.eps_warmup_steps)
+    da: Any = None
 
 
 def build_networks(cfg: GaugeConfig):
@@ -238,6 +252,8 @@ def make_optimizer(cfg: GaugeConfig):
 
 
 def init_train_state(cfg: GaugeConfig, key: jax.Array) -> TrainState:
+    from l2hmc_tpu.dynamics.nuts import dual_averaging_init
+
     kp, kx = jax.random.split(key)
     dyn_cfg, dyn, (xnet_init, vnet_init) = build_dynamics(cfg)
     params = init_dynamics_params(kp, dyn_cfg, xnet_init, vnet_init, cfg.eps_init)
@@ -245,7 +261,8 @@ def init_train_state(cfg: GaugeConfig, key: jax.Array) -> TrainState:
     opt_state = tx.init(_trainable(params))
     x = u1.random_links(kx, cfg.num_chains, cfg.shape)
     return TrainState(params=params, opt_state=opt_state, x=x,
-                      step=jnp.asarray(0, jnp.int32))
+                      step=jnp.asarray(0, jnp.int32),
+                      da=dual_averaging_init(cfg.eps_init))
 
 
 def _trainable(params: DynamicsParams) -> DynamicsParams:
@@ -305,6 +322,8 @@ def make_train_step(cfg: GaugeConfig):
     )
 
     def train_step(state: TrainState, key: jax.Array):
+        from l2hmc_tpu.dynamics.nuts import dual_averaging_update
+
         beta = schedules.beta_schedule(
             state.step, cfg.train_steps, cfg.beta_init, cfg.beta_final
         )
@@ -315,8 +334,30 @@ def make_train_step(cfg: GaugeConfig):
         grads = grads._replace(masks=jnp.zeros_like(grads.masks))
         if not cfg.eps_trainable:
             grads = grads._replace(raw_eps=jnp.zeros_like(grads.raw_eps))
+        in_warmup = state.step < cfg.eps_warmup_steps
+        if cfg.eps_warmup_steps > 0:
+            # dual-averaging drives eps during warmup; keep the ESJD eps
+            # gradient out of Adam's moments meanwhile
+            grads = grads._replace(
+                raw_eps=jnp.where(in_warmup, 0.0, grads.raw_eps))
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+
+        da = state.da
+        if cfg.eps_warmup_steps > 0:
+            da_next = dual_averaging_update(
+                state.da, aux["accept_prob"], target=cfg.eps_target_accept)
+            da = jax.tree.map(
+                lambda a, b: jnp.where(in_warmup, a, b), da_next, state.da)
+            # exploration value while adapting; smoothed average from the
+            # last warmup step onward (the handoff value gradient training
+            # continues from)
+            last_warmup = state.step == (cfg.eps_warmup_steps - 1)
+            eps_da = jnp.exp(
+                jnp.where(last_warmup, da.log_eps_avg, da.log_eps))
+            params = params._replace(raw_eps=jnp.where(
+                in_warmup, eps_da.astype(params.raw_eps.dtype),
+                params.raw_eps))
 
         x_new = u1.wrap(aux["x_out"])
         obs = u1.observables(x_new, cfg.shape)
@@ -332,7 +373,8 @@ def make_train_step(cfg: GaugeConfig):
             "charges2": jnp.mean(jnp.square(obs["charges"])),
         }
         new_state = TrainState(
-            params=params, opt_state=opt_state, x=x_new, step=state.step + 1
+            params=params, opt_state=opt_state, x=x_new, step=state.step + 1,
+            da=da,
         )
         return new_state, metrics
 

@@ -132,6 +132,39 @@ def test_gauge_eval_plaquette_near_oracle(key):
     assert acc > 0.5
 
 
+def test_eps_dual_averaging_warmup(key):
+    """Dual-averaging eps warmup recovers from a hopeless eps_init.
+
+    Start at eps=1.2 (acceptance ~0 at 8x8 beta=2: the dead-gradient trap
+    that killed hand-tuned large-volume runs): the warmup must pull eps
+    down to a value with acceptance near the target, then gradient
+    training continues without dying.
+    """
+    cfg = GaugeConfig(time_size=8, space_size=8, num_chains=32, num_steps=3,
+                      network_arch="mlp", num_hidden=32, train_steps=400,
+                      beta_init=2.0, beta_final=2.0, eps_init=1.2,
+                      eps_warmup_steps=200, eps_target_accept=0.7)
+    state = init_train_state(cfg, key)
+    chunk = make_train_chunk(cfg, 100)
+    accs, epss = [], []
+    for i in range(4):
+        state, m = chunk(state, jax.random.fold_in(key, i))
+        accs.append(float(np.asarray(m["accept_prob"])[-20:].mean()))
+        epss.append(float(np.asarray(m["eps"])[-1]))
+    assert epss[0] < 1.2, f"warmup did not move eps: {epss}"
+    assert epss[-1] < 0.5, f"eps did not reach a stable scale: {epss}"
+    # end-of-warmup acceptance near the target; post-warmup stays alive
+    assert 0.4 < accs[1] < 0.95, f"acceptance off target after warmup: {accs}"
+    assert accs[-1] > 0.3, f"post-warmup training died: {accs}"
+    assert np.isfinite(np.asarray(m["loss"])).all()
+
+    # eps_warmup_steps=0 keeps the old semantics exactly: da untouched
+    cfg0 = dataclasses.replace(cfg, eps_warmup_steps=0, eps_init=0.25)
+    s0 = init_train_state(cfg0, key)
+    s1, _ = make_train_chunk(cfg0, 10)(s0, key)
+    np.testing.assert_allclose(np.asarray(s1.da.t), 0.0)
+
+
 def test_loss_z_term_parity_modes(key):
     """Differential test of the loss dataflow flags.
 
