@@ -78,14 +78,15 @@ def shard_train_state(state, mesh: Mesh):
     replicated, chain state sharded over 'data'."""
     rep = replicated(mesh)
     chains = chain_sharding(mesh)
-    return jax.device_put(
-        state._replace(
-            params=jax.device_put(state.params, rep),
-            opt_state=jax.device_put(state.opt_state, rep),
-            x=jax.device_put(state.x, chains),
-            step=jax.device_put(state.step, rep),
-            da=jax.device_put(state.da, rep),
-        )
+    # NOTE: no outer device_put — re-placing an already-globally-sharded
+    # pytree without a sharding is an error under multi-process jax
+    # (non-addressable arrays).
+    return state._replace(
+        params=jax.device_put(state.params, rep),
+        opt_state=jax.device_put(state.opt_state, rep),
+        x=jax.device_put(state.x, chains),
+        step=jax.device_put(state.step, rep),
+        da=jax.device_put(state.da, rep),
     )
 
 
