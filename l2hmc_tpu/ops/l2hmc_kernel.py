@@ -1,0 +1,539 @@
+"""Fused Pallas chain kernel for the TRAINED L2HMC transition (MLP, U(1)).
+
+``ops/leapfrog.py`` fused the plain-HMC chain and measured 2.48x the XLA
+scan at 2048 chains — but the framework's flagship is the *learned* kernel,
+whose XLA form pays the same per-transition dispatch/fusion overheads plus
+the S/T/Q conditioner calls.  This kernel runs ``num_transitions`` complete
+trained-L2HMC transitions inside ONE ``pallas_call``: per leapfrog step the
+Wilson gradient (lane-rotation rolls, same formulas as ``ops/leapfrog.py``),
+the VNet/XNet MLP matmuls (MXU, weights VMEM-resident), the circle-scaling
+position update with exact log-Jacobian, and per-chain-direction fused
+integration; then the MH accept with the carried potential/sine field.
+
+Covered dynamics family (exactly :func:`l2hmc_tpu.dynamics.l2hmc
+.make_dynamics` semantics, ``merge_v_halves`` integrator):
+
+- MLP conditioners (``networks/nets.py make_mlp_net``) with ``bounded_q``,
+- ``group='u1'`` (periodic cos/sin features + circle diffeomorphism),
+- per-chain random direction, fused single-direction integration,
+- K+1 merged momentum kicks / 2K position half-updates per trajectory.
+
+Exactness strategy (two layers, mirroring ``tests/test_leapfrog_kernel.py``):
+the kernel and the pure-JAX twin :func:`l2hmc_chain_reference` share ONE
+transition-math function (bit-identical under injected randomness), and the
+twin is separately checked against ``make_dynamics``'s transition to float
+tolerance in ``tests/test_l2hmc_kernel.py``.
+
+Weight layout: the flat link state interleaves directions
+(``index = (t*Lx + s)*2 + mu``), while the kernel keeps the two directions
+as separate ``(chains, Lt*Lx)`` lane-major arrays (full 128-lane occupancy,
+rolls as lane rotations).  :func:`pack_weights` de-interleaves the trained
+``DynamicsParams`` rows/columns once at call time.
+"""
+
+from __future__ import annotations
+
+import functools
+from types import SimpleNamespace
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from l2hmc_tpu.ops.leapfrog import (
+    _grad_flat,
+    _potential_and_sinp,
+    _uniform_from_bits,
+    _normal_pair,
+    _wrap,
+)
+
+_TWO_PI = 2.0 * np.pi
+
+# ordered weight-array names (the kernel receives them positionally)
+WEIGHT_NAMES = (
+    # XNet: input blocks (per direction), trunk, heads, coeffs
+    "xv0", "xv1", "xc0", "xc1", "xs0", "xs1", "xt", "xb",
+    "xh_w", "xh_b", "xhead0", "xhead1", "xheadb0", "xheadb1",
+    "xcs0", "xcs1", "xct0", "xct1",
+    # VNet
+    "vc0", "vc1", "vs0", "vs1", "vg0", "vg1", "vt", "vb",
+    "vh_w", "vh_b", "vhead0", "vhead1", "vheadb0", "vheadb1",
+    "vcs0", "vcs1", "vct0", "vct1",
+    # per-step hold masks, per direction (K, d)
+    "mask0", "mask1",
+)
+
+
+def _deinterleave_rows(w, x_dim):
+    """(x_dim, h) rows in interleaved mu order -> two (d, h) blocks."""
+    assert w.shape[0] == x_dim
+    return w[0::2], w[1::2]
+
+
+def _deinterleave_cols(w, x_dim):
+    """(h, 3*x_dim) head columns [S | T | Q] -> two (h, 3d) blocks with the
+    same [S | T | Q] order per direction."""
+    h = w.shape[0]
+    w3 = w.reshape(h, 3, x_dim // 2, 2)
+    return w3[..., 0].reshape(h, -1), w3[..., 1].reshape(h, -1)
+
+
+def pack_weights(params, x_dim: int) -> Tuple[jax.Array, ...]:
+    """De-interleave trained MLP ``DynamicsParams`` into kernel blocks.
+
+    XNet ``in_w`` rows are ``[v (x_dim) | cos-feats (x_dim) |
+    sin-feats (x_dim) | t (2)]`` (``make_mlp_net``: v slot, then the
+    doubled periodic position slot, then time); VNet rows are
+    ``[cos (x_dim) | sin (x_dim) | grad (x_dim) | t (2)]``.
+    """
+    d2 = x_dim
+    xn, vn = params.xnet, params.vnet
+
+    xv = xn["in_w"][:d2]
+    xc = xn["in_w"][d2:2 * d2]
+    xs = xn["in_w"][2 * d2:3 * d2]
+    xt = xn["in_w"][3 * d2:3 * d2 + 2]
+    xv0, xv1 = _deinterleave_rows(xv, d2)
+    xc0, xc1 = _deinterleave_rows(xc, d2)
+    xs0, xs1 = _deinterleave_rows(xs, d2)
+    xhead0, xhead1 = _deinterleave_cols(xn["head_w"], d2)
+    xhb = xn["head_b"].reshape(3, d2 // 2, 2)
+    xcs = xn["coeff_scale"].reshape(d2 // 2, 2)
+    xct = xn["coeff_transformation"].reshape(d2 // 2, 2)
+
+    vc = vn["in_w"][:d2]
+    vs = vn["in_w"][d2:2 * d2]
+    vg = vn["in_w"][2 * d2:3 * d2]
+    vt = vn["in_w"][3 * d2:3 * d2 + 2]
+    vc0, vc1 = _deinterleave_rows(vc, d2)
+    vs0, vs1 = _deinterleave_rows(vs, d2)
+    vg0, vg1 = _deinterleave_rows(vg, d2)
+    vhead0, vhead1 = _deinterleave_cols(vn["head_w"], d2)
+    vhb = vn["head_b"].reshape(3, d2 // 2, 2)
+    vcs = vn["coeff_scale"].reshape(d2 // 2, 2)
+    vct = vn["coeff_transformation"].reshape(d2 // 2, 2)
+
+    m = params.masks.reshape(params.masks.shape[0], d2 // 2, 2)
+
+    vals = dict(
+        xv0=xv0, xv1=xv1, xc0=xc0, xc1=xc1, xs0=xs0, xs1=xs1, xt=xt,
+        xb=xn["in_b"][None, :],
+        xh_w=xn["h_layer"]["w"], xh_b=xn["h_layer"]["b"][None, :],
+        xhead0=xhead0, xhead1=xhead1,
+        xheadb0=xhb[..., 0].reshape(1, -1), xheadb1=xhb[..., 1].reshape(1, -1),
+        xcs0=xcs[:, 0][None, :], xcs1=xcs[:, 1][None, :],
+        xct0=xct[:, 0][None, :], xct1=xct[:, 1][None, :],
+        vc0=vc0, vc1=vc1, vs0=vs0, vs1=vs1, vg0=vg0, vg1=vg1, vt=vt,
+        vb=vn["in_b"][None, :],
+        vh_w=vn["h_layer"]["w"], vh_b=vn["h_layer"]["b"][None, :],
+        vhead0=vhead0, vhead1=vhead1,
+        vheadb0=vhb[..., 0].reshape(1, -1), vheadb1=vhb[..., 1].reshape(1, -1),
+        vcs0=vcs[:, 0][None, :], vcs1=vcs[:, 1][None, :],
+        vct0=vct[:, 0][None, :], vct1=vct[:, 1][None, :],
+        mask0=m[..., 0], mask1=m[..., 1],
+    )
+    return tuple(jnp.asarray(vals[n], jnp.float32) for n in WEIGHT_NAMES)
+
+
+# ---------------------------------------------------------------------------
+# Shared transition math (kernel + pure-JAX twin)
+# ---------------------------------------------------------------------------
+
+
+def _mm(a, w):
+    return jax.lax.dot_general(
+        a, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+
+def _heads(hh, W, net, bounded_q):
+    """Trunk output -> per-direction (S, T, Q) with the tanh/exp head
+    combines (``make_mlp_net.apply``)."""
+    h0 = _mm(hh, getattr(W, net + "head0")) + getattr(W, net + "headb0")
+    h1 = _mm(hh, getattr(W, net + "head1")) + getattr(W, net + "headb1")
+    d = h0.shape[1] // 3
+    out = []
+    for hi, sfx in ((h0, "0"), (h1, "1")):
+        s_raw, t_raw, q_raw = hi[:, :d], hi[:, d:2 * d], hi[:, 2 * d:]
+        s = jnp.tanh(s_raw) * jnp.exp(getattr(W, net + "cs" + sfx))
+        if bounded_q:
+            q_raw = jnp.tanh(q_raw)
+        q = q_raw * jnp.exp(getattr(W, net + "ct" + sfx))
+        out.append((s, t_raw, q))
+    return out  # [(s0, t0, q0), (s1, t1, q1)]
+
+
+def _trunk(pre, W, net):
+    hh = jax.nn.relu(pre)
+    hh = jax.nn.relu(_mm(hh, getattr(W, net + "h_w")) + getattr(W, net + "h_b"))
+    return hh
+
+
+def _tau_term(tau, Wt):
+    """(b, 2) time encoding x (2, h) rows without a degenerate matmul."""
+    return tau[:, 0:1] * Wt[0][None, :] + tau[:, 1:2] * Wt[1][None, :]
+
+
+def _time_enc(idx, K):
+    ang = _TWO_PI * idx / K
+    return jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1)
+
+
+def _circle_scale(x, a):
+    """2 atan(exp(a) tan(x/2)) with exact log-Jacobian (l2hmc.py
+    circle_scale)."""
+    s2, c2 = jnp.sin(0.5 * x), jnp.cos(0.5 * x)
+    ea = jnp.exp(a)
+    y = 2.0 * jnp.arctan2(ea * s2, c2)
+    logdet = a - jnp.log(c2 * c2 + ea * ea * s2 * s2)
+    return y, logdet
+
+
+def _select_mask(masks, idx, K):
+    """Per-chain row gather masks[idx] as a K-way select (K is tiny)."""
+    out = jnp.zeros((idx.shape[0], masks.shape[1]), jnp.float32)
+    for k in range(K):
+        out = out + (idx == k).astype(jnp.float32)[:, None] * masks[k][None, :]
+    return out
+
+
+def _l2hmc_transition_math(
+    x0, x1, v0, v1, dsign, u, W, eps, beta, K, lx, s_col, roll, bounded_q,
+    pot0=None, sinp=None,
+):
+    """One trained-L2HMC transition (merge_v_halves, u1) on flat halves.
+
+    Pure function of its inputs — used verbatim by the Pallas kernel and by
+    the pure-JAX twin.  ``dsign (b,)`` in {+1,-1}; ``u (b,)`` accept
+    uniforms; ``W`` a namespace of :data:`WEIGHT_NAMES` arrays.
+
+    Returns ``(x0', x1', prob, avg_plaq_out, pot_out, sinp_out)``.
+    """
+    n_plaq = x0.shape[1]
+    d_col = dsign[:, None]
+
+    if pot0 is None:
+        pot0, sinp = _potential_and_sinp(x0, x1, lx, s_col, roll)
+    ke0 = 0.5 * (jnp.sum(v0 * v0, axis=1) + jnp.sum(v1 * v1, axis=1))
+    h_init = beta * pot0 + ke0
+
+    g0, g1 = _grad_flat(sinp, lx, s_col, roll)
+    g0, g1 = beta * g0, beta * g1
+    y0, y1, w0, w1 = x0, x1, v0, v1
+    sumlogdet = jnp.zeros(x0.shape[0], jnp.float32)
+    pot1, sinp1 = pot0, sinp
+
+    def vnet(yy0, yy1, gg0, gg1, tau):
+        pre = (
+            _mm(jnp.cos(yy0), W.vc0) + _mm(jnp.cos(yy1), W.vc1)
+            + _mm(jnp.sin(yy0), W.vs0) + _mm(jnp.sin(yy1), W.vs1)
+            + _mm(gg0, W.vg0) + _mm(gg1, W.vg1)
+            + _tau_term(tau, W.vt) + W.vb
+        )
+        return _heads(_trunk(pre, W, "v"), W, "v", bounded_q)
+
+    def xnet(ww0, ww1, yy0, yy1, m0, m1, tau):
+        pre = (
+            _mm(ww0, W.xv0) + _mm(ww1, W.xv1)
+            + _mm(m0 * jnp.cos(yy0), W.xc0) + _mm(m1 * jnp.cos(yy1), W.xc1)
+            + _mm(m0 * jnp.sin(yy0), W.xs0) + _mm(m1 * jnp.sin(yy1), W.xs1)
+            + _tau_term(tau, W.xt) + W.xb
+        )
+        return _heads(_trunk(pre, W, "x"), W, "x", bounded_q)
+
+    def kick(y0_, y1_, w0_, w1_, g0_, g1_, tau, factor, ld):
+        """Merged momentum kick, direction-fused (l2hmc.py update_v)."""
+        (s0, t0, q0), (s1, t1, q1) = vnet(y0_, y1_, g0_, g1_, tau)
+        out = []
+        for (w_, s_, t_, q_, g_) in ((w0_, s0, t0, q0, g0_),
+                                     (w1_, s1, t1, q1, g1_)):
+            hs = factor * eps * s_
+            a = factor * eps * (jnp.exp(eps * q_) * g_ - t_)
+            e = jnp.exp(d_col * hs)
+            out.append(jnp.where(d_col > 0, w_ * e - a, (w_ + a) * e))
+            ld = ld + dsign * jnp.sum(hs, axis=1)
+        return out[0], out[1], ld
+
+    def xhalf(y0_, y1_, w0_, w1_, hold0, hold1, tau, ld):
+        """One masked position half-update on the torus (l2hmc.py
+        update_x, 'u1' branch)."""
+        (s0, t0, q0), (s1, t1, q1) = xnet(w0_, w1_, y0_, y1_, hold0, hold1,
+                                          tau)
+        outs = []
+        for (y_, w_, s_, t_, q_, hold) in (
+                (y0_, w0_, s0, t0, q0, hold0), (y1_, w1_, s1, t1, q1, hold1)):
+            es = eps * s_
+            b = eps * (jnp.exp(eps * q_) * w_ + t_)
+            u_in = jnp.where(d_col > 0, y_, _wrap(y_ - b))
+            y2, ld_e = _circle_scale(u_in, d_col * es)
+            upd = jnp.where(d_col > 0, _wrap(y2 + b), y2)
+            outs.append(hold * y_ + (1.0 - hold) * upd)
+            ld = ld + jnp.sum((1.0 - hold) * ld_e, axis=1)
+        return outs[0], outs[1], ld
+
+    for step in range(K):
+        # boundary momentum kick (leapfrog_step_merged)
+        factor = 0.5 if step == 0 else 1.0
+        t_fwd = 0.0 if step == 0 else step - 0.5
+        t_bwd = float(K - 1) if step == 0 else K - 0.5 - step
+        tau_v = _time_enc(jnp.where(dsign > 0, t_fwd, t_bwd), K)
+        w0, w1, sumlogdet = kick(y0, y1, w0, w1, g0, g1, tau_v, factor,
+                                 sumlogdet)
+
+        idx = jnp.where(dsign > 0, step, K - 1 - step).astype(jnp.int32)
+        tau_x = _time_enc(idx.astype(jnp.float32), K)
+        m0 = _select_mask(W.mask0, idx, K)
+        m1 = _select_mask(W.mask1, idx, K)
+        hold1_0 = jnp.where(d_col > 0, m0, 1.0 - m0)
+        hold1_1 = jnp.where(d_col > 0, m1, 1.0 - m1)
+        y0, y1, sumlogdet = xhalf(y0, y1, w0, w1, hold1_0, hold1_1, tau_x,
+                                  sumlogdet)
+        y0, y1, sumlogdet = xhalf(y0, y1, w0, w1, 1.0 - hold1_0, 1.0 - hold1_1,
+                                  tau_x, sumlogdet)
+
+        pot1, sinp1 = _potential_and_sinp(y0, y1, lx, s_col, roll)
+        g0, g1 = _grad_flat(sinp1, lx, s_col, roll)
+        g0, g1 = beta * g0, beta * g1
+
+    # closing half kick at trajectory time K-1 (fwd) / 0 (bwd)
+    tau_v = _time_enc(jnp.where(dsign > 0, float(K - 1), 0.0), K)
+    w0, w1, sumlogdet = kick(y0, y1, w0, w1, g0, g1, tau_v, 0.5, sumlogdet)
+
+    ke1 = 0.5 * (jnp.sum(w0 * w0, axis=1) + jnp.sum(w1 * w1, axis=1))
+    dh = h_init - (beta * pot1 + ke1) + sumlogdet
+    prob = jnp.exp(jnp.minimum(dh, 0.0))
+    prob = jnp.where(jnp.isfinite(prob), prob, jnp.zeros_like(prob))
+    # reject non-finite proposals outright (l2hmc.py _sanitize)
+    finite = (
+        jnp.sum(jnp.abs(y0), axis=1) + jnp.sum(jnp.abs(y1), axis=1)
+        + jnp.sum(jnp.abs(w0), axis=1) + jnp.sum(jnp.abs(w1), axis=1)
+    )
+    prob = jnp.where(jnp.isfinite(finite), prob, jnp.zeros_like(prob))
+
+    acc = (u < prob).astype(x0.dtype)
+    acc_col = acc[:, None]
+    x0 = acc_col * y0 + (1.0 - acc_col) * x0
+    x1 = acc_col * y1 + (1.0 - acc_col) * x1
+    pot_out = acc * pot1 + (1.0 - acc) * pot0
+    sinp_out = acc_col * sinp1 + (1.0 - acc_col) * sinp
+    avg_plaq = 1.0 - pot_out / n_plaq
+    return x0, x1, prob, avg_plaq, pot_out, sinp_out
+
+
+# ---------------------------------------------------------------------------
+# Pure-JAX twin (exactness tests + CPU fallback)
+# ---------------------------------------------------------------------------
+
+
+def l2hmc_chain_reference(links, params, v0s, v1s, ds, us, eps, beta,
+                          num_leapfrog, bounded_q=True):
+    """Run ``N`` trained transitions with injected randomness.
+
+    ``links (B, Lt, Lx, 2)``; ``v0s/v1s (N, B, Lt*Lx)``; ``ds/us (N, B)``.
+    Same math function as the kernel, jnp.roll edition.
+    """
+    b, lt, lx, _ = links.shape
+    d = lt * lx
+    W = SimpleNamespace(**dict(zip(WEIGHT_NAMES,
+                                   pack_weights(params, 2 * d))))
+    s_col = (jax.lax.broadcasted_iota(jnp.int32, (b, d), 1) % lx)
+    roll = functools.partial(jnp.roll, axis=1)
+    x0 = links[..., 0].reshape(b, d)
+    x1 = links[..., 1].reshape(b, d)
+    pot, sinp = _potential_and_sinp(x0, x1, lx, s_col, roll)
+
+    def body(carry, rand):
+        x0, x1, pot, sinp = carry
+        v0, v1, dsg, u = rand
+        x0, x1, prob, plaq, pot, sinp = _l2hmc_transition_math(
+            x0, x1, v0, v1, dsg, u, W, eps, beta, num_leapfrog, lx, s_col,
+            roll, bounded_q, pot0=pot, sinp=sinp)
+        return (x0, x1, pot, sinp), (plaq, prob)
+
+    (x0, x1, _, _), (plaqs, probs) = jax.lax.scan(
+        body, (x0, x1, pot, sinp), (v0s, v1s, ds, us))
+    out = jnp.stack([x0.reshape(b, lt, lx), x1.reshape(b, lt, lx)], axis=-1)
+    return out, plaqs, probs
+
+
+# ---------------------------------------------------------------------------
+# The fused kernel
+# ---------------------------------------------------------------------------
+
+
+def _build_kernel(lt, lx, K, num_transitions, tile_b, bounded_q, rand,
+                  interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    d = lt * lx
+
+    if interpret:
+        roll = functools.partial(jnp.roll, axis=1)
+    else:
+        def roll(a, k):
+            return pltpu.roll(a, k % d, axis=1)
+
+    n_w = len(WEIGHT_NAMES)
+
+    def _body(seed_ref, scal_ref, x0_ref, x1_ref, w_refs, rand_refs,
+              x0_out, x1_out, plaq_ref, prob_ref):
+        if rand == "prng":
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        eps = scal_ref[0]
+        beta = scal_ref[1]
+        s_col = (jax.lax.broadcasted_iota(jnp.int32, (tile_b, d), 1) % lx)
+        W = SimpleNamespace(**{n: r[:] for n, r in zip(WEIGHT_NAMES, w_refs)})
+
+        def step(t, carry):
+            x0, x1, pot2, sinp = carry
+            if rand == "prng":
+                v0, v1 = _normal_pair((tile_b, d))
+                dbits = pltpu.bitcast(
+                    pltpu.prng_random_bits((tile_b, d)), jnp.uint32)
+                dsg = ((dbits[:, 0] & 1) * 2).astype(jnp.float32) - 1.0
+                ubits = pltpu.bitcast(
+                    pltpu.prng_random_bits((tile_b, d)), jnp.uint32)
+                u = _uniform_from_bits(ubits)[:, 0]
+            else:
+                v0s_ref, v1s_ref, ds_ref, us_ref = rand_refs
+                v0, v1 = v0s_ref[t], v1s_ref[t]
+                dsg, u = ds_ref[t], us_ref[t]
+            x0, x1, prob, plaq, pot, sinp = _l2hmc_transition_math(
+                x0, x1, v0, v1, dsg, u, W, eps, beta, K, lx, s_col, roll,
+                bounded_q, pot0=pot2[:, 0], sinp=sinp)
+            plaq_ref[t, :] = plaq
+            prob_ref[t, :] = prob
+            return (x0, x1, pot[:, None], sinp)
+
+        pot0, sinp0 = _potential_and_sinp(x0_ref[:], x1_ref[:], lx, s_col,
+                                          roll)
+        x0, x1, _, _ = jax.lax.fori_loop(
+            0, num_transitions, step,
+            (x0_ref[:], x1_ref[:], pot0[:, None], sinp0))
+        x0_out[:] = x0
+        x1_out[:] = x1
+
+    if rand == "prng":
+        def kernel(seed_ref, scal_ref, x0_ref, x1_ref, *rest):
+            w_refs = rest[:n_w]
+            x0_out, x1_out, plaq_ref, prob_ref = rest[n_w:]
+            _body(seed_ref, scal_ref, x0_ref, x1_ref, w_refs, None,
+                  x0_out, x1_out, plaq_ref, prob_ref)
+    else:
+        def kernel(seed_ref, scal_ref, x0_ref, x1_ref, *rest):
+            w_refs = rest[:n_w]
+            v0s_ref, v1s_ref, ds_ref, us_ref = rest[n_w:n_w + 4]
+            x0_out, x1_out, plaq_ref, prob_ref = rest[n_w + 4:]
+            _body(seed_ref, scal_ref, x0_ref, x1_ref, w_refs,
+                  (v0s_ref, v1s_ref, ds_ref, us_ref),
+                  x0_out, x1_out, plaq_ref, prob_ref)
+
+    state_spec = pl.BlockSpec((tile_b, d), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+    trace_spec = pl.BlockSpec((num_transitions, tile_b), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def w_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, (lambda i: (0,) * nd),
+                            memory_space=pltpu.VMEM)
+
+    def call(b, x0, x1, seed, scal, weights, *rand_arrays):
+        in_specs = [smem, smem, state_spec, state_spec]
+        in_specs += [w_spec(w.shape) for w in weights]
+        if rand == "input":
+            rand_state = pl.BlockSpec((num_transitions, tile_b, d),
+                                      lambda i: (0, i, 0),
+                                      memory_space=pltpu.VMEM)
+            in_specs += [rand_state, rand_state, trace_spec, trace_spec]
+        return pl.pallas_call(
+            kernel,
+            interpret=interpret,
+            grid=(b // tile_b,),
+            in_specs=in_specs,
+            out_specs=(state_spec, state_spec, trace_spec, trace_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, d), jnp.float32),
+                jax.ShapeDtypeStruct((b, d), jnp.float32),
+                jax.ShapeDtypeStruct((num_transitions, b), jnp.float32),
+                jax.ShapeDtypeStruct((num_transitions, b), jnp.float32),
+            ),
+            input_output_aliases={2: 0, 3: 1},
+        )(seed, scal, x0, x1, *weights, *rand_arrays)
+
+    return call
+
+
+@functools.lru_cache(maxsize=None)
+def _kernel_for(lt, lx, K, num_transitions, tile_b, bounded_q, rand,
+                interpret):
+    return _build_kernel(lt, lx, K, num_transitions, tile_b, bounded_q,
+                         rand, interpret)
+
+
+def l2hmc_chain_pallas(
+    links: jax.Array,
+    params,
+    key: jax.Array,
+    eps,
+    beta: float,
+    num_leapfrog: int,
+    num_transitions: int,
+    bounded_q: bool = True,
+    tile_b: int = 0,
+    interpret: bool = False,
+    rand_arrays=None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Run ``num_transitions`` fused TRAINED L2HMC transitions on-chip.
+
+    ``links (B, Lt, Lx, 2)`` f32 angles; ``params`` a trained MLP/u1
+    ``DynamicsParams`` (``merge_v_halves`` family).  Returns
+    ``(links_out, plaq_trace (N, B), prob_trace (N, B))``.
+
+    ``rand_arrays=(v0s, v1s, ds, us)`` switches to injected randomness for
+    exactness tests against :func:`l2hmc_chain_reference`.
+    """
+    b, lt, lx, _ = links.shape
+    d = lt * lx
+    weights = pack_weights(params, 2 * d)
+    h = weights[0].shape[1]
+
+    if tile_b <= 0:
+        # state+temporaries ~26 (tile_b, d) rows + trace blocks; weights are
+        # tile-independent.  Budget ~10 MB for the tiled part.
+        w_bytes = sum(int(np.prod(w.shape)) * 4 for w in weights)
+        per_row = 4 * (26 * d + 6 * h + 4 * num_transitions)
+        tile_b = max(8, min(b, ((10 << 20) - w_bytes) // per_row))
+        if tile_b < b:
+            tile_b = max(128, (tile_b // 128) * 128)
+    while b % tile_b != 0 and tile_b > 1:
+        tile_b -= 1
+    w_bytes = sum(int(np.prod(w.shape)) * 4 for w in weights)
+    est = w_bytes + tile_b * 4 * (26 * d + 6 * h + 4 * num_transitions)
+    if est > (14 << 20):
+        raise ValueError(
+            f"fused trained chain would need ~{est >> 20} MB VMEM "
+            f"(tile_b={tile_b}, d={d}, h={h}, N={num_transitions}); "
+            "shrink num_transitions per call or use the XLA path")
+
+    rand = "input" if rand_arrays is not None else "prng"
+    call = _kernel_for(lt, lx, num_leapfrog, num_transitions, tile_b,
+                       bounded_q, rand, interpret)
+
+    x0 = links[..., 0].reshape(b, d).astype(jnp.float32)
+    x1 = links[..., 1].reshape(b, d).astype(jnp.float32)
+    seed = jnp.asarray(
+        jax.random.randint(key, (1,), 0, np.iinfo(np.int32).max), jnp.int32)
+    scal = jnp.stack([jnp.asarray(eps, jnp.float32),
+                      jnp.asarray(beta, jnp.float32)])
+    extra = ()
+    if rand == "input":
+        v0s, v1s, ds, us = rand_arrays
+        extra = (v0s.astype(jnp.float32), v1s.astype(jnp.float32),
+                 ds.astype(jnp.float32), us.astype(jnp.float32))
+    x0, x1, plaqs, probs = call(b, x0, x1, seed, scal, weights, *extra)
+    out = jnp.stack([x0.reshape(b, lt, lx), x1.reshape(b, lt, lx)], axis=-1)
+    return out, plaqs, probs
