@@ -211,7 +211,7 @@ def main():
     # recorded sample (3 x 500 measured ~30% slower from per-call overhead)
     @jax.jit
     def record(links, key):
-        links, pl_tr, _ = hmc_chain_u1_fused(
+        links, pl_tr, _, _ = hmc_chain_u1_fused(
             links, key, ess_eps, 4.0, ess_leapfrog, 1500)
         # 16-chain trace slice for the ESS estimate + a scalar drain digest;
         # everything else stays on-device (no eager ops in the timed loop —

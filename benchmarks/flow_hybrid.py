@@ -78,7 +78,7 @@ def main(argv=None):
 
     k0, k1, k2, key = jax.random.split(key, 4)
     links = jnp.zeros((b, lt, lx, 2))
-    links, _, _ = jax.jit(lambda l, k: hmc_chain_u1_fused(
+    links, _, _, _ = jax.jit(lambda l, k: hmc_chain_u1_fused(
         l, k, args.hmc_eps, args.beta, args.hmc_leapfrog, args.therm))(
             links, k0)
     jax.block_until_ready(links)

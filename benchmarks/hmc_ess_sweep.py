@@ -59,7 +59,7 @@ def main(argv=None):
         # one compile per K: eps rides the kernel's runtime scalar input
         @jax.jit
         def record(links, k, eps, num_lf=num_lf):
-            links, pl_tr, pr_tr = hmc_chain_u1_fused(
+            links, pl_tr, _, pr_tr = hmc_chain_u1_fused(
                 links, k, eps, args.beta, num_lf, args.record)
             return (links, pl_tr[:, :args.trace_chains],
                     jnp.mean(pr_tr), jnp.sum(pl_tr))

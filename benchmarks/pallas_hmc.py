@@ -39,11 +39,11 @@ def phase1_exactness(key):
     v0s = jax.random.normal(k2, (n, b, lt * lx))
     v1s = jax.random.normal(k3, (n, b, lt * lx))
     us = jax.random.uniform(k4, (n, b))
-    out_k, plaq_k, prob_k = jax.jit(
+    out_k, plaq_k, chg_k, prob_k = jax.jit(
         lambda l: hmc_chain_pallas(l, key, 0.1, 4.0, 3, n, tile_b=b,
                                    rand_arrays=(v0s, v1s, us))
     )(links)
-    out_r, plaq_r, prob_r = hmc_chain_reference(links, v0s, v1s, us, 0.1, 4.0, 3)
+    out_r, plaq_r, chg_r, prob_r = hmc_chain_reference(links, v0s, v1s, us, 0.1, 4.0, 3)
     err = float(jnp.max(jnp.abs(out_k - out_r)))
     perr = float(jnp.max(jnp.abs(prob_k - prob_r)))
     log(f"exactness: max|x-x_ref|={err:.2e} max|p-p_ref|={perr:.2e}")
@@ -55,7 +55,7 @@ def phase2_physics(key):
     beta = 4.0
     links = jnp.zeros((b, lt, lx, 2))
     run = jax.jit(lambda l, k: hmc_chain_pallas(l, k, 0.10, beta, 3, 2000))
-    links, plaqs, probs = run(links, key)
+    links, plaqs, _, probs = run(links, key)
     measured = float(jnp.mean(plaqs[1000:]))
     exact = float(u1.u1_plaq_exact(beta))
     acc = float(jnp.mean(probs[1000:]))

@@ -67,6 +67,51 @@ def run_eval(cfg, params, x, beta, key, num_steps, chunk_size=1000):
             float(np.concatenate(accepts).mean()), wall, x)
 
 
+def run_eval_fused(kind, cfg, params, x, beta, key, num_steps, eps=None,
+                   hmc_k=5, chunk_size=1500):
+    """Timed eval on the fused Pallas chain kernels (TPU tier).
+
+    ``kind='l2hmc'`` runs the trained-kernel chain (ops/l2hmc_kernel.py;
+    requires the MLP + merge_v + u1 family), ``kind='hmc'`` the plain-HMC
+    chain (ops/leapfrog.py).  Same trace contract as :func:`run_eval`.
+    """
+    import jax.numpy as jnp
+
+    from l2hmc_tpu.dynamics.l2hmc import get_eps
+    from l2hmc_tpu.lattice import u1
+    from l2hmc_tpu.ops.l2hmc_kernel import l2hmc_chain_pallas
+    from l2hmc_tpu.ops.leapfrog import hmc_chain_pallas
+    from l2hmc_tpu.train.gauge import build_dynamics
+
+    links = u1.to_links(x, cfg.shape)
+    if kind == "l2hmc":
+        assert cfg.network_arch == "mlp" and cfg.merge_v_halves, (
+            "fused trained kernel covers the MLP + merge_v family")
+        dyn_cfg, _, _ = build_dynamics(cfg)
+        eps_v = float(get_eps(params, dyn_cfg))
+        run = jax.jit(lambda l, k: l2hmc_chain_pallas(
+            l, params, k, eps_v, beta, cfg.num_steps, chunk_size))
+    else:
+        run = jax.jit(lambda l, k: hmc_chain_pallas(
+            l, k, eps, beta, hmc_k, chunk_size))
+
+    links, pl, ch, pr = run(links, key)     # compile + warm/therm chunk
+    float(np.asarray(pr).sum())
+    plaqs, charges, probs = [], [], []
+    t0 = time.perf_counter()
+    done = 0
+    while done < num_steps:
+        key, sub = jax.random.split(key)
+        links, pl, ch, pr = run(links, sub)
+        done += chunk_size
+        plaqs.append(np.asarray(pl))
+        charges.append(np.asarray(ch))
+        probs.append(np.asarray(pr))
+    wall = time.perf_counter() - t0
+    return (np.concatenate(plaqs), np.concatenate(charges),
+            float(np.concatenate(probs).mean()), wall, u1.to_flat(links))
+
+
 def trace_stats(arr, wall, max_chains=64):
     """ESS ratio / tau_int / eff-samples-per-second for a (T, chains) trace."""
     from l2hmc_tpu.analysis import stats
@@ -106,6 +151,10 @@ def main(argv=None):
     p.add_argument("--size", type=int, default=16)
     p.add_argument("--eval_steps", type=int, default=6000)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--tier", default="xla", choices=["xla", "both"],
+                   help="'both' adds the fused-Pallas-kernel tier "
+                        "(trained MLP+merge_v kernel vs Pallas HMC chain) "
+                        "to the XLA-scan comparison")
     p.add_argument("--save_params", default="",
                    help="npz path to save trained params + config json")
     p.add_argument("--params_from", default="",
@@ -242,6 +291,45 @@ def main(argv=None):
                   * res_hmc["plaq"]["steps_per_s"], 1e-9), 3),
         "train_wall_s": round(train_wall, 1),
     }
+
+    if args.tier == "both" and jax.default_backend() == "tpu":
+        # fused-Pallas tier: both samplers on their chain kernels
+        def fused_res(kind, k, label, **kw):
+            plq, q, acc, wall, _ = run_eval_fused(
+                kind, cfg, state.params, x0, beta, k, args.eval_steps, **kw)
+            return {
+                "sampler": label,
+                "accept_prob": round(acc, 4),
+                "plaq": trace_stats(plq, wall),
+                "charge": trace_stats(q, wall),
+                "tunneling_rate_per_step": round(
+                    float(np.abs(np.diff(q, axis=0)).mean()), 5),
+                "plaq_mean": round(float(plq[args.eval_steps // 4:].mean()), 6),
+                "q2": round(float((q ** 2).mean()), 3),
+                "wall_s": round(wall, 2),
+            }
+
+        key, kf1, kf2 = jax.random.split(key, 3)
+        fused = {}
+        if args.arch == "mlp" and args.merge_v:
+            fused["l2hmc"] = fused_res("l2hmc", kf1, "l2hmc_trained_fused")
+            _trace(json.dumps(fused["l2hmc"]))
+        fused["hmc"] = fused_res(
+            "hmc", kf2, f"hmc_fused_K{args.hmc_num_steps}_eps{args.hmc_eps}",
+            eps=args.hmc_eps, hmc_k=args.hmc_num_steps)
+        _trace(json.dumps(fused["hmc"]))
+        if "l2hmc" in fused:
+            fused["plaq_ess_per_s_ratio"] = round(
+                fused["l2hmc"]["plaq"]["eff_samples_per_s"]
+                / max(fused["hmc"]["plaq"]["eff_samples_per_s"], 1e-9), 3)
+            fused["q_ess_per_s_ratio"] = round(
+                fused["l2hmc"]["charge"]["eff_samples_per_s"]
+                / max(fused["hmc"]["charge"]["eff_samples_per_s"], 1e-9), 3)
+            fused["l2hmc_fused_vs_xla_speedup"] = round(
+                fused["l2hmc"]["plaq"]["steps_per_s"]
+                / max(res_l2["plaq"]["steps_per_s"], 1e-9), 3)
+        result["fused_tier"] = fused
+
     print(json.dumps(result))
     return 0
 

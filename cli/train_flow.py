@@ -209,10 +209,10 @@ def main(argv=None):
             key, kb = jax.random.split(key)
             n_chains = args.fkl_buffer // 2
             links = jnp.zeros((n_chains, cfg.time_size, cfg.space_size, 2))
-            links, _, _ = jax.jit(lambda l, k: hmc_chain_u1_fused(
+            links, _, _, _ = jax.jit(lambda l, k: hmc_chain_u1_fused(
                 l, k, args.fkl_hmc_eps, args.beta, 5, 600))(links, kb)
             kb, _ = jax.random.split(kb)
-            links2, _, _ = jax.jit(lambda l, k: hmc_chain_u1_fused(
+            links2, _, _, _ = jax.jit(lambda l, k: hmc_chain_u1_fused(
                 l, k, args.fkl_hmc_eps, args.beta, 5, 100))(links, kb)
             buffer = jnp.concatenate([links, links2])   # (fkl_buffer, ...)
             log(f"fkl buffer: {buffer.shape[0]} HMC-equilibrated configs")

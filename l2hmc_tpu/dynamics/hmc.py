@@ -78,10 +78,10 @@ def hmc_chain_u1_fused(
     """U(1) HMC chain on the fused Pallas leapfrog kernel (TPU hot path).
 
     ``links (B, Lt, Lx, 2)`` angles.  Returns ``(links_out, plaq_trace
-    (T, B), accept_probs (T, B))`` — the whole chain runs inside ONE
-    kernel with the state VMEM-resident (``ops/leapfrog.py``; measured 2.5x
-    the XLA scan form at 2048 chains on the v5e).  Falls back to the XLA
-    scan off-TPU.
+    (T, B), charge_trace (T, B), accept_probs (T, B))`` — the whole chain
+    runs inside ONE kernel with the state VMEM-resident
+    (``ops/leapfrog.py``; measured 2.5x the XLA scan form at 2048 chains on
+    the v5e).  Falls back to the XLA scan off-TPU.
     """
     from l2hmc_tpu.lattice import u1
     from l2hmc_tpu.ops.leapfrog import hmc_chain_pallas
@@ -97,9 +97,12 @@ def hmc_chain_u1_fused(
     pot = u1.make_potential_fn(shape)
     xs, probs = hmc_chain(pot, links.reshape(b, -1), beta, key, eps,
                           num_leapfrog, num_samples, wrap_fn=u1.wrap)
-    plaqs = u1.avg_plaquette(xs.reshape(num_samples * b, lt, lx, 2))
+    states = xs.reshape(num_samples * b, lt, lx, 2)
+    plaqs = u1.avg_plaquette(states)
+    charges = jnp.round(u1.topological_charge(states))
     return (xs[-1].reshape(b, lt, lx, 2),
-            plaqs.reshape(num_samples, b), probs)
+            plaqs.reshape(num_samples, b),
+            charges.reshape(num_samples, b), probs)
 
 
 def hmc_chain(

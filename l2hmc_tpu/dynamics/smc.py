@@ -145,7 +145,7 @@ def make_u1_fused_move(shape, leapfrog: int, moves_per_rung: int):
 
     def move(x, b, k, _):
         links = x.reshape(x.shape[0], shape.time_size, shape.space_size, 2)
-        links, _, _ = hmc_chain_pallas(
+        links, _, _, _ = hmc_chain_pallas(
             links, k, eps_scale * 0.4 / jnp.sqrt(b), b, leapfrog,
             moves_per_rung)
         return links.reshape(x.shape)

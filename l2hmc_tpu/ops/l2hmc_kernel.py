@@ -200,7 +200,7 @@ def _select_mask(masks, idx, K):
 
 def _l2hmc_transition_math(
     x0, x1, v0, v1, dsign, u, W, eps, beta, K, lx, s_col, roll, bounded_q,
-    pot0=None, sinp=None,
+    pot0=None, sinp=None, chg0=None,
 ):
     """One trained-L2HMC transition (merge_v_halves, u1) on flat halves.
 
@@ -208,13 +208,14 @@ def _l2hmc_transition_math(
     the pure-JAX twin.  ``dsign (b,)`` in {+1,-1}; ``u (b,)`` accept
     uniforms; ``W`` a namespace of :data:`WEIGHT_NAMES` arrays.
 
-    Returns ``(x0', x1', prob, avg_plaq_out, pot_out, sinp_out)``.
+    Returns ``(x0', x1', prob, avg_plaq_out, pot_out, sinp_out,
+    chg_out)``.
     """
     n_plaq = x0.shape[1]
     d_col = dsign[:, None]
 
     if pot0 is None:
-        pot0, sinp = _potential_and_sinp(x0, x1, lx, s_col, roll)
+        pot0, sinp, chg0 = _potential_and_sinp(x0, x1, lx, s_col, roll)
     ke0 = 0.5 * (jnp.sum(v0 * v0, axis=1) + jnp.sum(v1 * v1, axis=1))
     h_init = beta * pot0 + ke0
 
@@ -222,7 +223,7 @@ def _l2hmc_transition_math(
     g0, g1 = beta * g0, beta * g1
     y0, y1, w0, w1 = x0, x1, v0, v1
     sumlogdet = jnp.zeros(x0.shape[0], jnp.float32)
-    pot1, sinp1 = pot0, sinp
+    pot1, sinp1, chg1 = pot0, sinp, chg0
 
     def vnet(yy0, yy1, gg0, gg1, tau):
         pre = (
@@ -292,7 +293,7 @@ def _l2hmc_transition_math(
         y0, y1, sumlogdet = xhalf(y0, y1, w0, w1, 1.0 - hold1_0, 1.0 - hold1_1,
                                   tau_x, sumlogdet)
 
-        pot1, sinp1 = _potential_and_sinp(y0, y1, lx, s_col, roll)
+        pot1, sinp1, chg1 = _potential_and_sinp(y0, y1, lx, s_col, roll)
         g0, g1 = _grad_flat(sinp1, lx, s_col, roll)
         g0, g1 = beta * g0, beta * g1
 
@@ -317,8 +318,9 @@ def _l2hmc_transition_math(
     x1 = acc_col * y1 + (1.0 - acc_col) * x1
     pot_out = acc * pot1 + (1.0 - acc) * pot0
     sinp_out = acc_col * sinp1 + (1.0 - acc_col) * sinp
+    chg_out = acc * chg1 + (1.0 - acc) * chg0
     avg_plaq = 1.0 - pot_out / n_plaq
-    return x0, x1, prob, avg_plaq, pot_out, sinp_out
+    return x0, x1, prob, avg_plaq, pot_out, sinp_out, chg_out
 
 
 # ---------------------------------------------------------------------------
@@ -331,7 +333,8 @@ def l2hmc_chain_reference(links, params, v0s, v1s, ds, us, eps, beta,
     """Run ``N`` trained transitions with injected randomness.
 
     ``links (B, Lt, Lx, 2)``; ``v0s/v1s (N, B, Lt*Lx)``; ``ds/us (N, B)``.
-    Same math function as the kernel, jnp.roll edition.
+    Same math function as the kernel, jnp.roll edition.  Returns
+    ``(links_out, plaq_trace, charge_trace, prob_trace)``.
     """
     b, lt, lx, _ = links.shape
     d = lt * lx
@@ -341,20 +344,20 @@ def l2hmc_chain_reference(links, params, v0s, v1s, ds, us, eps, beta,
     roll = functools.partial(jnp.roll, axis=1)
     x0 = links[..., 0].reshape(b, d)
     x1 = links[..., 1].reshape(b, d)
-    pot, sinp = _potential_and_sinp(x0, x1, lx, s_col, roll)
+    pot, sinp, chg = _potential_and_sinp(x0, x1, lx, s_col, roll)
 
     def body(carry, rand):
-        x0, x1, pot, sinp = carry
+        x0, x1, pot, sinp, chg = carry
         v0, v1, dsg, u = rand
-        x0, x1, prob, plaq, pot, sinp = _l2hmc_transition_math(
+        x0, x1, prob, plaq, pot, sinp, chg = _l2hmc_transition_math(
             x0, x1, v0, v1, dsg, u, W, eps, beta, num_leapfrog, lx, s_col,
-            roll, bounded_q, pot0=pot, sinp=sinp)
-        return (x0, x1, pot, sinp), (plaq, prob)
+            roll, bounded_q, pot0=pot, sinp=sinp, chg0=chg)
+        return (x0, x1, pot, sinp, chg), (plaq, chg, prob)
 
-    (x0, x1, _, _), (plaqs, probs) = jax.lax.scan(
-        body, (x0, x1, pot, sinp), (v0s, v1s, ds, us))
+    (x0, x1, _, _, _), (plaqs, chgs, probs) = jax.lax.scan(
+        body, (x0, x1, pot, sinp, chg), (v0s, v1s, ds, us))
     out = jnp.stack([x0.reshape(b, lt, lx), x1.reshape(b, lt, lx)], axis=-1)
-    return out, plaqs, probs
+    return out, plaqs, jnp.round(chgs), probs
 
 
 # ---------------------------------------------------------------------------
@@ -378,7 +381,7 @@ def _build_kernel(lt, lx, K, num_transitions, tile_b, bounded_q, rand,
     n_w = len(WEIGHT_NAMES)
 
     def _body(seed_ref, scal_ref, x0_ref, x1_ref, w_refs, rand_refs,
-              x0_out, x1_out, plaq_ref, prob_ref):
+              x0_out, x1_out, plaq_ref, chg_ref, prob_ref):
         if rand == "prng":
             pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
         eps = scal_ref[0]
@@ -387,7 +390,7 @@ def _build_kernel(lt, lx, K, num_transitions, tile_b, bounded_q, rand,
         W = SimpleNamespace(**{n: r[:] for n, r in zip(WEIGHT_NAMES, w_refs)})
 
         def step(t, carry):
-            x0, x1, pot2, sinp = carry
+            x0, x1, pot2, sinp, chg2 = carry
             if rand == "prng":
                 v0, v1 = _normal_pair((tile_b, d))
                 dbits = pltpu.bitcast(
@@ -400,35 +403,36 @@ def _build_kernel(lt, lx, K, num_transitions, tile_b, bounded_q, rand,
                 v0s_ref, v1s_ref, ds_ref, us_ref = rand_refs
                 v0, v1 = v0s_ref[t], v1s_ref[t]
                 dsg, u = ds_ref[t], us_ref[t]
-            x0, x1, prob, plaq, pot, sinp = _l2hmc_transition_math(
+            x0, x1, prob, plaq, pot, sinp, chg = _l2hmc_transition_math(
                 x0, x1, v0, v1, dsg, u, W, eps, beta, K, lx, s_col, roll,
-                bounded_q, pot0=pot2[:, 0], sinp=sinp)
+                bounded_q, pot0=pot2[:, 0], sinp=sinp, chg0=chg2[:, 0])
             plaq_ref[t, :] = plaq
+            chg_ref[t, :] = chg
             prob_ref[t, :] = prob
-            return (x0, x1, pot[:, None], sinp)
+            return (x0, x1, pot[:, None], sinp, chg[:, None])
 
-        pot0, sinp0 = _potential_and_sinp(x0_ref[:], x1_ref[:], lx, s_col,
-                                          roll)
-        x0, x1, _, _ = jax.lax.fori_loop(
+        pot0, sinp0, chg0 = _potential_and_sinp(x0_ref[:], x1_ref[:], lx,
+                                                s_col, roll)
+        x0, x1, _, _, _ = jax.lax.fori_loop(
             0, num_transitions, step,
-            (x0_ref[:], x1_ref[:], pot0[:, None], sinp0))
+            (x0_ref[:], x1_ref[:], pot0[:, None], sinp0, chg0[:, None]))
         x0_out[:] = x0
         x1_out[:] = x1
 
     if rand == "prng":
         def kernel(seed_ref, scal_ref, x0_ref, x1_ref, *rest):
             w_refs = rest[:n_w]
-            x0_out, x1_out, plaq_ref, prob_ref = rest[n_w:]
+            x0_out, x1_out, plaq_ref, chg_ref, prob_ref = rest[n_w:]
             _body(seed_ref, scal_ref, x0_ref, x1_ref, w_refs, None,
-                  x0_out, x1_out, plaq_ref, prob_ref)
+                  x0_out, x1_out, plaq_ref, chg_ref, prob_ref)
     else:
         def kernel(seed_ref, scal_ref, x0_ref, x1_ref, *rest):
             w_refs = rest[:n_w]
             v0s_ref, v1s_ref, ds_ref, us_ref = rest[n_w:n_w + 4]
-            x0_out, x1_out, plaq_ref, prob_ref = rest[n_w + 4:]
+            x0_out, x1_out, plaq_ref, chg_ref, prob_ref = rest[n_w + 4:]
             _body(seed_ref, scal_ref, x0_ref, x1_ref, w_refs,
                   (v0s_ref, v1s_ref, ds_ref, us_ref),
-                  x0_out, x1_out, plaq_ref, prob_ref)
+                  x0_out, x1_out, plaq_ref, chg_ref, prob_ref)
 
     state_spec = pl.BlockSpec((tile_b, d), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)
@@ -454,10 +458,12 @@ def _build_kernel(lt, lx, K, num_transitions, tile_b, bounded_q, rand,
             interpret=interpret,
             grid=(b // tile_b,),
             in_specs=in_specs,
-            out_specs=(state_spec, state_spec, trace_spec, trace_spec),
+            out_specs=(state_spec, state_spec, trace_spec, trace_spec,
+                       trace_spec),
             out_shape=(
                 jax.ShapeDtypeStruct((b, d), jnp.float32),
                 jax.ShapeDtypeStruct((b, d), jnp.float32),
+                jax.ShapeDtypeStruct((num_transitions, b), jnp.float32),
                 jax.ShapeDtypeStruct((num_transitions, b), jnp.float32),
                 jax.ShapeDtypeStruct((num_transitions, b), jnp.float32),
             ),
@@ -491,7 +497,8 @@ def l2hmc_chain_pallas(
 
     ``links (B, Lt, Lx, 2)`` f32 angles; ``params`` a trained MLP/u1
     ``DynamicsParams`` (``merge_v_halves`` family).  Returns
-    ``(links_out, plaq_trace (N, B), prob_trace (N, B))``.
+    ``(links_out, plaq_trace (N, B), charge_trace (N, B), prob_trace
+    (N, B))``; charges are rounded to integer sectors.
 
     ``rand_arrays=(v0s, v1s, ds, us)`` switches to injected randomness for
     exactness tests against :func:`l2hmc_chain_reference`.
@@ -505,14 +512,14 @@ def l2hmc_chain_pallas(
         # state+temporaries ~26 (tile_b, d) rows + trace blocks; weights are
         # tile-independent.  Budget ~10 MB for the tiled part.
         w_bytes = sum(int(np.prod(w.shape)) * 4 for w in weights)
-        per_row = 4 * (26 * d + 6 * h + 4 * num_transitions)
+        per_row = 4 * (26 * d + 6 * h + 6 * num_transitions)
         tile_b = max(8, min(b, ((10 << 20) - w_bytes) // per_row))
         if tile_b < b:
             tile_b = max(128, (tile_b // 128) * 128)
     while b % tile_b != 0 and tile_b > 1:
         tile_b -= 1
     w_bytes = sum(int(np.prod(w.shape)) * 4 for w in weights)
-    est = w_bytes + tile_b * 4 * (26 * d + 6 * h + 4 * num_transitions)
+    est = w_bytes + tile_b * 4 * (26 * d + 6 * h + 6 * num_transitions)
     if est > (14 << 20):
         raise ValueError(
             f"fused trained chain would need ~{est >> 20} MB VMEM "
@@ -534,6 +541,6 @@ def l2hmc_chain_pallas(
         v0s, v1s, ds, us = rand_arrays
         extra = (v0s.astype(jnp.float32), v1s.astype(jnp.float32),
                  ds.astype(jnp.float32), us.astype(jnp.float32))
-    x0, x1, plaqs, probs = call(b, x0, x1, seed, scal, weights, *extra)
+    x0, x1, plaqs, chgs, probs = call(b, x0, x1, seed, scal, weights, *extra)
     out = jnp.stack([x0.reshape(b, lt, lx), x1.reshape(b, lt, lx)], axis=-1)
-    return out, plaqs, probs
+    return out, plaqs, jnp.round(chgs), probs

@@ -93,40 +93,45 @@ def _wrap(x):
 
 
 def _potential_and_sinp(y0, y1, lx, s_col, roll):
+    """Plaquette-field stats in one pass: potential, sine field, and the
+    (unrounded) topological charge ``Q = sum(wrap(P)) / 2pi``
+    (``lattice/u1.py topological_charge``; the wrap costs two elementwise
+    ops on the P already in hand)."""
     p = _plaq_flat(y0, y1, lx, s_col, roll)
-    return jnp.sum(1.0 - jnp.cos(p), axis=1), jnp.sin(p)
+    chg = jnp.sum(_wrap(p), axis=1) * (1.0 / _TWO_PI)
+    return jnp.sum(1.0 - jnp.cos(p), axis=1), jnp.sin(p), chg
 
 
 def _transition_math(x0, x1, v0, v1, u, eps, beta, num_leapfrog, lx,
-                     s_col, roll, pot0=None, sinp=None):
+                     s_col, roll, pot0=None, sinp=None, chg0=None):
     """One full HMC transition on flat link arrays; pure function of its
     inputs, usable inside the kernel and in the pure-JAX reference twin.
 
-    ``pot0``/``sinp`` optionally inject the potential and plaquette-sine
-    field of the INPUT state (both are in hand at the end of the previous
-    transition's accept step — carrying them saves one of the K+1
-    plaquette+trig evaluations per transition; the carried values are
-    bit-identical to recomputation, they were produced by the same ops at
-    the same point).
+    ``pot0``/``sinp``/``chg0`` optionally inject the potential,
+    plaquette-sine field, and charge of the INPUT state (all are in hand at
+    the end of the previous transition's accept step — carrying them saves
+    one of the K+1 plaquette+trig evaluations per transition; the carried
+    values are bit-identical to recomputation, they were produced by the
+    same ops at the same point).
 
     Returns ``(x0', x1', accept_prob, avg_plaq_of_output, pot_out,
-    sinp_out)``.
+    sinp_out, chg_out)``.
     """
     n_plaq = x0.shape[1]
 
     if pot0 is None:
-        pot0, sinp = _potential_and_sinp(x0, x1, lx, s_col, roll)
+        pot0, sinp, chg0 = _potential_and_sinp(x0, x1, lx, s_col, roll)
     ke0 = 0.5 * (jnp.sum(v0 * v0, axis=1) + jnp.sum(v1 * v1, axis=1))
 
     g0, g1 = _grad_flat(sinp, lx, s_col, roll)
     w0 = v0 - 0.5 * eps * beta * g0
     w1 = v1 - 0.5 * eps * beta * g1
     y0, y1 = x0, x1
-    pot1, sinp1 = pot0, sinp  # overwritten in the loop
+    pot1, sinp1, chg1 = pot0, sinp, chg0  # overwritten in the loop
     for k in range(num_leapfrog):
         y0 = _wrap(y0 + eps * w0)
         y1 = _wrap(y1 + eps * w1)
-        pot1, sinp1 = _potential_and_sinp(y0, y1, lx, s_col, roll)
+        pot1, sinp1, chg1 = _potential_and_sinp(y0, y1, lx, s_col, roll)
         g0, g1 = _grad_flat(sinp1, lx, s_col, roll)
         c = eps if k < num_leapfrog - 1 else 0.5 * eps
         w0 = w0 - c * beta * g0
@@ -141,11 +146,12 @@ def _transition_math(x0, x1, v0, v1, u, eps, beta, num_leapfrog, lx,
     acc_col = acc[:, None]
     x0 = acc_col * y0 + (1.0 - acc_col) * x0
     x1 = acc_col * y1 + (1.0 - acc_col) * x1
-    # output state's potential and sine field: both already in hand
+    # output state's potential / sine field / charge: all already in hand
     pot_out = acc * pot1 + (1.0 - acc) * pot0
     sinp_out = acc_col * sinp1 + (1.0 - acc_col) * sinp
+    chg_out = acc * chg1 + (1.0 - acc) * chg0
     avg_plaq = 1.0 - pot_out / n_plaq
-    return x0, x1, prob, avg_plaq, pot_out, sinp_out
+    return x0, x1, prob, avg_plaq, pot_out, sinp_out, chg_out
 
 
 # ---------------------------------------------------------------------------
@@ -157,7 +163,8 @@ def hmc_chain_reference(links, v0s, v1s, us, eps, beta, num_leapfrog):
     """Run ``N = v0s.shape[0]`` transitions with injected randomness.
 
     ``links (B, Lt, Lx, 2)``; ``v0s/v1s (N, B, Lt*Lx)``; ``us (N, B)``.
-    Returns ``(links_out, plaq_trace (N, B), prob_trace (N, B))``.
+    Returns ``(links_out, plaq_trace (N, B), charge_trace (N, B),
+    prob_trace (N, B))``; charges are rounded to integer sectors.
     """
     b, lt, lx, _ = links.shape
     d = lt * lx
@@ -166,20 +173,20 @@ def hmc_chain_reference(links, v0s, v1s, us, eps, beta, num_leapfrog):
     x0 = links[..., 0].reshape(b, d)
     x1 = links[..., 1].reshape(b, d)
 
-    pot, sinp = _potential_and_sinp(x0, x1, lx, s_col, roll)
+    pot, sinp, chg = _potential_and_sinp(x0, x1, lx, s_col, roll)
 
     def body(carry, rand):
-        x0, x1, pot, sinp = carry
+        x0, x1, pot, sinp, chg = carry
         v0, v1, u = rand
-        x0, x1, prob, plaq, pot, sinp = _transition_math(
+        x0, x1, prob, plaq, pot, sinp, chg = _transition_math(
             x0, x1, v0, v1, u, eps, beta, num_leapfrog, lx, s_col, roll,
-            pot0=pot, sinp=sinp)
-        return (x0, x1, pot, sinp), (plaq, prob)
+            pot0=pot, sinp=sinp, chg0=chg)
+        return (x0, x1, pot, sinp, chg), (plaq, chg, prob)
 
-    (x0, x1, _, _), (plaqs, probs) = jax.lax.scan(
-        body, (x0, x1, pot, sinp), (v0s, v1s, us))
+    (x0, x1, _, _, _), (plaqs, chgs, probs) = jax.lax.scan(
+        body, (x0, x1, pot, sinp, chg), (v0s, v1s, us))
     out = jnp.stack([x0.reshape(b, lt, lx), x1.reshape(b, lt, lx)], axis=-1)
-    return out, plaqs, probs
+    return out, plaqs, jnp.round(chgs), probs
 
 
 # ---------------------------------------------------------------------------
@@ -224,7 +231,7 @@ def _build_chain_kernel(lt, lx, num_leapfrog, num_transitions, tile_b,
             return pltpu.roll(a, k % d, axis=1)
 
     def _body(seed_ref, scal_ref, x0_ref, x1_ref, rand_refs,
-              x0_out, x1_out, plaq_ref, prob_ref):
+              x0_out, x1_out, plaq_ref, chg_ref, prob_ref):
         if rand == "prng":
             pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
         eps = scal_ref[0]
@@ -232,9 +239,9 @@ def _build_chain_kernel(lt, lx, num_leapfrog, num_transitions, tile_b,
         s_col = (jax.lax.broadcasted_iota(jnp.int32, (tile_b, d), 1) % lx)
 
         def step(t, carry):
-            # pot is carried as (tile_b, 1): Mosaic cannot lay out rank-1
-            # arrays in a fori_loop carry (layout_rank check failure)
-            x0, x1, pot2, sinp = carry
+            # pot/chg are carried as (tile_b, 1): Mosaic cannot lay out
+            # rank-1 arrays in a fori_loop carry (layout_rank check failure)
+            x0, x1, pot2, sinp, chg2 = carry
             if rand == "prng":
                 # Box-Muller cos/sin halves of ONE pair are exactly
                 # independent standard normals — one pair serves both
@@ -248,32 +255,33 @@ def _build_chain_kernel(lt, lx, num_leapfrog, num_transitions, tile_b,
                 v0 = v0s_ref[t]
                 v1 = v1s_ref[t]
                 u = us_ref[t]
-            x0, x1, prob, plaq, pot, sinp = _transition_math(
+            x0, x1, prob, plaq, pot, sinp, chg = _transition_math(
                 x0, x1, v0, v1, u, eps, beta, num_leapfrog, lx, s_col, roll,
-                pot0=pot2[:, 0], sinp=sinp)
+                pot0=pot2[:, 0], sinp=sinp, chg0=chg2[:, 0])
             plaq_ref[t, :] = plaq
+            chg_ref[t, :] = chg
             prob_ref[t, :] = prob
-            return (x0, x1, pot[:, None], sinp)
+            return (x0, x1, pot[:, None], sinp, chg[:, None])
 
-        pot0, sinp0 = _potential_and_sinp(x0_ref[:], x1_ref[:], lx, s_col,
-                                          roll)
-        x0, x1, _, _ = jax.lax.fori_loop(
+        pot0, sinp0, chg0 = _potential_and_sinp(x0_ref[:], x1_ref[:], lx,
+                                                s_col, roll)
+        x0, x1, _, _, _ = jax.lax.fori_loop(
             0, num_transitions, step,
-            (x0_ref[:], x1_ref[:], pot0[:, None], sinp0))
+            (x0_ref[:], x1_ref[:], pot0[:, None], sinp0, chg0[:, None]))
         x0_out[:] = x0
         x1_out[:] = x1
 
     if rand == "prng":
         def kernel(seed_ref, scal_ref, x0_ref, x1_ref,
-                   x0_out, x1_out, plaq_ref, prob_ref):
+                   x0_out, x1_out, plaq_ref, chg_ref, prob_ref):
             _body(seed_ref, scal_ref, x0_ref, x1_ref, None,
-                  x0_out, x1_out, plaq_ref, prob_ref)
+                  x0_out, x1_out, plaq_ref, chg_ref, prob_ref)
     else:
         def kernel(seed_ref, scal_ref, x0_ref, x1_ref, v0s_ref, v1s_ref,
-                   us_ref, x0_out, x1_out, plaq_ref, prob_ref):
+                   us_ref, x0_out, x1_out, plaq_ref, chg_ref, prob_ref):
             _body(seed_ref, scal_ref, x0_ref, x1_ref,
                   (v0s_ref, v1s_ref, us_ref),
-                  x0_out, x1_out, plaq_ref, prob_ref)
+                  x0_out, x1_out, plaq_ref, chg_ref, prob_ref)
 
     state_spec = pl.BlockSpec((tile_b, d), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)
@@ -293,10 +301,12 @@ def _build_chain_kernel(lt, lx, num_leapfrog, num_transitions, tile_b,
             interpret=interpret,
             grid=(b // tile_b,),
             in_specs=in_specs,
-            out_specs=(state_spec, state_spec, trace_spec, trace_spec),
+            out_specs=(state_spec, state_spec, trace_spec, trace_spec,
+                       trace_spec),
             out_shape=(
                 jax.ShapeDtypeStruct((b, d), jnp.float32),
                 jax.ShapeDtypeStruct((b, d), jnp.float32),
+                jax.ShapeDtypeStruct((num_transitions, b), jnp.float32),
                 jax.ShapeDtypeStruct((num_transitions, b), jnp.float32),
                 jax.ShapeDtypeStruct((num_transitions, b), jnp.float32),
             ),
@@ -329,9 +339,10 @@ def hmc_chain_pallas(
     """Run ``num_transitions`` fused U(1) HMC transitions on-chip.
 
     ``links (B, Lt, Lx, 2)`` float32 angles.  Returns
-    ``(links_out, plaq_trace (N, B), prob_trace (N, B))`` where the plaquette
-    trace is the per-chain average plaquette of each transition's OUTPUT
-    state (free: the accept step already holds pot(x_out)).
+    ``(links_out, plaq_trace (N, B), charge_trace (N, B), prob_trace
+    (N, B))`` where the plaquette/charge traces are per-chain observables of
+    each transition's OUTPUT state (free: the accept step already holds
+    them); charges are rounded to integer sectors.
 
     ``rand_arrays=(v0s, v1s, us)`` switches to injected randomness
     (exactness tests vs :func:`hmc_chain_reference`); default draws momenta
@@ -346,7 +357,7 @@ def hmc_chain_pallas(
         # double-buffered).  Budget ~12 MB of the 16 MB VMEM.  The trace
         # blocks make tile_b a lane dim, so it must be a multiple of 128
         # (or the full batch) for Mosaic.
-        per_row = 4 * (17 * d + 4 * num_transitions)
+        per_row = 4 * (17 * d + 6 * num_transitions)
         tile_b = max(8, min(b, (8 << 20) // per_row))
         if tile_b < b:
             tile_b = max(128, (tile_b // 128) * 128)
@@ -356,7 +367,7 @@ def hmc_chain_pallas(
     # b > tile_b, so very large lattices / long traces can exceed the
     # ~16 MB budget.  Callers (hmc_chain_u1_fused) catch this and fall
     # back to the XLA scan path.
-    est = tile_b * 4 * (17 * d + 4 * num_transitions)
+    est = tile_b * 4 * (17 * d + 6 * num_transitions)
     if est > (14 << 20):
         raise ValueError(
             f"fused leapfrog chain would need ~{est >> 20} MB of VMEM "
@@ -377,6 +388,6 @@ def hmc_chain_pallas(
         v0s, v1s, us = rand_arrays
         extra = (v0s.astype(jnp.float32), v1s.astype(jnp.float32),
                  us.astype(jnp.float32))
-    x0, x1, plaqs, probs = call(b, x0, x1, seed, scal, *extra)
+    x0, x1, plaqs, chgs, probs = call(b, x0, x1, seed, scal, *extra)
     out = jnp.stack([x0.reshape(b, lt, lx), x1.reshape(b, lt, lx)], axis=-1)
-    return out, plaqs, probs
+    return out, plaqs, jnp.round(chgs), probs

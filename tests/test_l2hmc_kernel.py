@@ -92,7 +92,7 @@ def test_twin_matches_make_dynamics(key):
     # twin with the extracted randomness (interleaved -> per-direction)
     links = u1.to_links(x, u1.LatticeShape(lt, lx))
     v0s, v1s = vs[..., 0::2], vs[..., 1::2]
-    out_t, plaq_t, prob_t = l2hmc_chain_reference(
+    out_t, plaq_t, chg_t, prob_t = l2hmc_chain_reference(
         links, params, v0s, v1s, ds, us, eps=float(get_eps(params, cfg)),
         beta=4.0, num_leapfrog=K)
 
@@ -123,14 +123,15 @@ def test_kernel_matches_twin(key):
     us = jax.random.uniform(k4, (n, b))
 
     eps = float(get_eps(params, cfg))
-    out_k, plaq_k, prob_k = l2hmc_chain_pallas(
+    out_k, plaq_k, chg_k, prob_k = l2hmc_chain_pallas(
         links, params, key, eps=eps, beta=3.0, num_leapfrog=K,
         num_transitions=n, tile_b=4, interpret=True,
         rand_arrays=(v0s, v1s, ds, us))
-    out_r, plaq_r, prob_r = l2hmc_chain_reference(
+    out_r, plaq_r, chg_r, prob_r = l2hmc_chain_reference(
         links, params, v0s, v1s, ds, us, eps=eps, beta=3.0, num_leapfrog=K)
     np.testing.assert_allclose(out_k, out_r, atol=1e-5)
     np.testing.assert_allclose(plaq_k, plaq_r, atol=1e-5)
+    np.testing.assert_allclose(chg_k, chg_r, atol=1e-5)
     np.testing.assert_allclose(prob_k, prob_r, atol=1e-5)
 
 
@@ -161,9 +162,9 @@ def test_kernel_hmc_degeneration_matches_plain(key):
     ds = jnp.ones((n, b))  # forward only: plain HMC has no direction
 
     eps, beta = 0.1, 2.0
-    out_l2, plaq_l2, prob_l2 = l2hmc_chain_reference(
+    out_l2, plaq_l2, chg_l2, prob_l2 = l2hmc_chain_reference(
         links, params, v0s, v1s, ds, us, eps=eps, beta=beta, num_leapfrog=K)
-    out_h, plaq_h, prob_h = hmc_chain_reference(
+    out_h, plaq_h, chg_h, prob_h = hmc_chain_reference(
         links, v0s, v1s, us, eps=eps, beta=beta, num_leapfrog=K)
     np.testing.assert_allclose(out_l2, out_h, atol=1e-5)
     np.testing.assert_allclose(prob_l2, prob_h, atol=1e-5)
@@ -178,7 +179,7 @@ def test_prng_mode_runs_tpu(key):
     cfg, params, dyn = _build(key, lt, lx, K, hidden=32)
     shape = u1.LatticeShape(lt, lx)
     links = u1.to_links(u1.random_links(key, b, shape), shape)
-    out, plaqs, probs = l2hmc_chain_pallas(
+    out, plaqs, chgs, probs = l2hmc_chain_pallas(
         links, params, key, eps=float(get_eps(params, cfg)), beta=2.0,
         num_leapfrog=K, num_transitions=100)
     assert bool(jnp.all(jnp.isfinite(out)))

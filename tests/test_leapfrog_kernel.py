@@ -28,13 +28,14 @@ def _rand_inputs(key, n, b, lt, lx):
 def test_kernel_matches_reference_twin(key):
     n, b, lt, lx = 3, 8, 4, 4
     links, v0s, v1s, us = _rand_inputs(key, n, b, lt, lx)
-    out_k, plaq_k, prob_k = hmc_chain_pallas(
+    out_k, plaq_k, chg_k, prob_k = hmc_chain_pallas(
         links, key, eps=0.1, beta=2.0, num_leapfrog=3, num_transitions=n,
         tile_b=4, interpret=True, rand_arrays=(v0s, v1s, us))
-    out_r, plaq_r, prob_r = hmc_chain_reference(
+    out_r, plaq_r, chg_r, prob_r = hmc_chain_reference(
         links, v0s, v1s, us, eps=0.1, beta=2.0, num_leapfrog=3)
     np.testing.assert_allclose(out_k, out_r, atol=1e-5)
     np.testing.assert_allclose(plaq_k, plaq_r, atol=1e-5)
+    np.testing.assert_allclose(chg_k, chg_r, atol=1e-5)
     np.testing.assert_allclose(prob_k, prob_r, atol=1e-5)
 
 
@@ -72,7 +73,7 @@ def test_reference_twin_matches_independent_leapfrog(key):
         probs_exp.append(prob)
         plaqs_exp.append(u1.avg_plaquette(x.reshape(b, lt, lx, 2)))
 
-    out_r, plaq_r, prob_r = hmc_chain_reference(
+    out_r, plaq_r, chg_r, prob_r = hmc_chain_reference(
         links, v0s, v1s, us, eps=eps, beta=beta, num_leapfrog=K)
     np.testing.assert_allclose(out_r.reshape(b, -1), x, atol=1e-4)
     np.testing.assert_allclose(prob_r, jnp.stack(probs_exp), atol=1e-4)
@@ -82,7 +83,7 @@ def test_reference_twin_matches_independent_leapfrog(key):
 def test_kernel_output_wrapped_and_finite(key):
     n, b, lt, lx = 4, 8, 4, 4
     links, v0s, v1s, us = _rand_inputs(key, n, b, lt, lx)
-    out_k, plaq_k, prob_k = hmc_chain_pallas(
+    out_k, plaq_k, chg_k, prob_k = hmc_chain_pallas(
         links, key, eps=0.15, beta=3.0, num_leapfrog=2, num_transitions=n,
         tile_b=8, interpret=True, rand_arrays=(v0s, v1s, us))
     assert bool(jnp.all(jnp.isfinite(out_k)))
@@ -100,7 +101,7 @@ def test_prng_mode_physics_tpu(key):
     b, lt, lx = 64, 4, 4
     beta = 2.0
     links = jnp.zeros((b, lt, lx, 2))
-    out, plaqs, probs = hmc_chain_pallas(
+    out, plaqs, chgs, probs = hmc_chain_pallas(
         links, key, eps=0.3, beta=beta, num_leapfrog=4, num_transitions=200,
         tile_b=32)
     measured = float(jnp.mean(plaqs[100:]))
