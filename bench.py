@@ -239,6 +239,72 @@ def main():
     _trace(f"ESS ratio {ess_ratio:.4f} -> {ess_per_s:,.0f} eff samples/s "
            f"(fused Pallas HMC chain @{ess_chains})")
 
+    # fused TRAINED-kernel chain (ops/l2hmc_kernel.py): the flagship learned
+    # sampler's whole chain in one pallas_call (MLP h256 + merge_v family,
+    # throughput is weight-value-independent so fresh init measures the
+    # trained kernel's speed), vs its XLA-scan form.
+    trained_fused = {}
+    if jax.devices()[0].platform == "tpu":
+        import dataclasses as _dc1
+
+        from l2hmc_tpu.dynamics.l2hmc import get_eps
+        from l2hmc_tpu.lattice import u1 as _u1
+        from l2hmc_tpu.ops.l2hmc_kernel import l2hmc_chain_pallas
+        from l2hmc_tpu.train import gauge as _G
+
+        mcfg = _dc1.replace(
+            cfg, num_chains=2048, network_arch="mlp", num_hidden=256,
+            merge_v_halves=True)
+        mstate = _G.init_train_state(mcfg, key)
+        dyn_cfg, mdyn, _ = _G.build_dynamics(mcfg)
+        eps_v = float(get_eps(mstate.params, dyn_cfg))
+        links_t = _u1.to_links(mstate.x, mcfg.shape)
+        NT = 500
+
+        runf = jax.jit(lambda l, k: l2hmc_chain_pallas(
+            l, mstate.params, k, eps_v, 4.0, mcfg.num_steps, NT))
+
+        def xla_chunk(params, x, k):
+            def body(x, kk):
+                out = mdyn["transition"](params, x, 4.0, kk)
+                return _u1.wrap(out.x_out), out.accept_prob
+            ks = jax.random.split(k, NT)
+            x, probs = jax.lax.scan(body, x, ks)
+            return x, jnp.sum(probs)
+
+        runx = jax.jit(xla_chunk)
+
+        _trace("trained-kernel fused chain: compiling...")
+        links_t, plq, chg, prb = runf(links_t, key)
+        float(jnp.sum(prb))
+        bestf = float("inf")
+        for i in range(3):
+            t0 = time.perf_counter()
+            links_t, plq, chg, prb = runf(links_t, jax.random.fold_in(key, i))
+            float(jnp.sum(prb))
+            bestf = min(bestf, time.perf_counter() - t0)
+        xf = mstate.x
+        xf, dg = runx(mstate.params, xf, key)
+        float(dg)
+        bestx = float("inf")
+        for i in range(2):
+            t0 = time.perf_counter()
+            xf, dg = runx(mstate.params, xf, jax.random.fold_in(key, i))
+            float(dg)
+            bestx = min(bestx, time.perf_counter() - t0)
+        ratef = NT * mcfg.num_steps * mcfg.num_chains / bestf
+        ratex = NT * mcfg.num_steps * mcfg.num_chains / bestx
+        trained_fused = {
+            "trained_fused_lf_steps_per_s": round(ratef, 1),
+            "trained_fused_vs_xla": round(ratef / ratex, 3),
+            "trained_fused_ms_per_transition": round(bestf * 1e3 / NT, 4),
+            "trained_fused_config": (
+                f"MLP h256 merge_v K={mcfg.num_steps} @2048 chains "
+                f"(ops/l2hmc_kernel.py)"),
+        }
+        _trace(f"trained fused chain: {ratef:,.0f} lf-steps/s vs XLA "
+               f"{ratex:,.0f} -> {ratef/ratex:.2f}x")
+
     result = {
         "metric": "leapfrog_steps_per_s_per_chip",
         "value": round(fused_rate, 1),
@@ -260,6 +326,7 @@ def main():
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
         **roofline,
+        **trained_fused,
     }
     print(json.dumps(result))
 

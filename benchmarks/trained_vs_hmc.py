@@ -68,7 +68,7 @@ def run_eval(cfg, params, x, beta, key, num_steps, chunk_size=1000):
 
 
 def run_eval_fused(kind, cfg, params, x, beta, key, num_steps, eps=None,
-                   hmc_k=5, chunk_size=1500):
+                   hmc_k=5, chunk_size=0):
     """Timed eval on the fused Pallas chain kernels (TPU tier).
 
     ``kind='l2hmc'`` runs the trained-kernel chain (ops/l2hmc_kernel.py;
@@ -87,11 +87,15 @@ def run_eval_fused(kind, cfg, params, x, beta, key, num_steps, eps=None,
     if kind == "l2hmc":
         assert cfg.network_arch == "mlp" and cfg.merge_v_halves, (
             "fused trained kernel covers the MLP + merge_v family")
+        # shorter chunks: the trained kernel's weights + trace blocks share
+        # the VMEM budget (the wrapper raises if the tile can't fit)
+        chunk_size = chunk_size or 600
         dyn_cfg, _, _ = build_dynamics(cfg)
         eps_v = float(get_eps(params, dyn_cfg))
         run = jax.jit(lambda l, k: l2hmc_chain_pallas(
             l, params, k, eps_v, beta, cfg.num_steps, chunk_size))
     else:
+        chunk_size = chunk_size or 1500
         run = jax.jit(lambda l, k: hmc_chain_pallas(
             l, k, eps, beta, hmc_k, chunk_size))
 
