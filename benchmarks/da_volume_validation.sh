@@ -25,3 +25,22 @@ timeout 3000 python cli/train_gauge.py \
   --log_dir runs/davalid/gauge128 > runs/davalid/l128.log 2>&1
 tail -4 runs/davalid/l128.log
 echo "davalid done"
+
+# retry the charge-sign A/B cell that timed out in phase 1 (slow compile)
+export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
+if [ ! -s runs/h2h/conv_f8_K3_reward_w5.json ]; then
+  echo "=== retry conv_f8_K3_reward_w5"
+  timeout 2400 python benchmarks/trained_vs_hmc.py \
+    --label conv_f8_K3_reward_w5 --eval_steps 6000 --eval_chains 1024 \
+    --charge_reward --charge_weight 5 \
+    > runs/h2h/conv_f8_K3_reward_w5.json.tmp \
+    2> runs/h2h/conv_f8_K3_reward_w5.log \
+    && mv runs/h2h/conv_f8_K3_reward_w5.json.tmp \
+          runs/h2h/conv_f8_K3_reward_w5.json
+fi
+
+echo "=== bench.py validation (new trained-fused section)"
+timeout 1200 python bench.py > runs/davalid/bench_check.json \
+  2> runs/davalid/bench_check.log
+tail -2 runs/davalid/bench_check.json
+echo "queue fully done"
