@@ -144,6 +144,11 @@ def main(argv=None):
     p.add_argument("--charge_weight", type=float, default=1.0)
     p.add_argument("--eps_init", type=float, default=0.35)
     p.add_argument("--eps_cap", type=float, default=0.0)
+    p.add_argument("--eps_fixed", action="store_true",
+                   help="freeze eps at --eps_init: train only the S/T/Q "
+                        "conditioners around a fixed integrator step (with "
+                        "zero-init heads + --eps_init at HMC's optimum the "
+                        "kernel STARTS exactly at tuned HMC)")
     p.add_argument("--train_steps", type=int, default=5000)
     p.add_argument("--num_chains", type=int, default=128)
     p.add_argument("--eval_chains", type=int, default=0,
@@ -181,7 +186,7 @@ def main(argv=None):
         num_hidden=args.num_hidden, train_steps=args.train_steps,
         charge_weight=args.charge_weight, charge_reward=args.charge_reward,
         merge_v_halves=args.merge_v, eps_init=args.eps_init,
-        eps_cap=args.eps_cap,
+        eps_cap=args.eps_cap, eps_trainable=not args.eps_fixed,
     )
     key = jax.random.PRNGKey(args.seed)
     _trace(f"devices: {jax.devices()}")
@@ -273,6 +278,7 @@ def main(argv=None):
             "charge_reward": args.charge_reward,
             "charge_weight": args.charge_weight,
             "train_steps": args.train_steps,
+            "eps_init": args.eps_init, "eps_fixed": args.eps_fixed,
             "hmc_K": args.hmc_num_steps, "hmc_eps": args.hmc_eps,
         },
         "plaq_exact": round(float(u1.u1_plaq_exact(beta)), 6),
