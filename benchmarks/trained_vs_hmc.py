@@ -150,6 +150,10 @@ def main(argv=None):
                         "zero-init heads + --eps_init at HMC's optimum the "
                         "kernel STARTS exactly at tuned HMC)")
     p.add_argument("--train_steps", type=int, default=5000)
+    p.add_argument("--metric", default="cos_diff",
+                   help="ESJD metric (see train_gauge --metric); plaq_cos "
+                        "trains jump distance in the observable space the "
+                        "eval ESS is scored in")
     p.add_argument("--num_chains", type=int, default=128)
     p.add_argument("--eval_chains", type=int, default=0,
                    help="chains for the timed eval (0 = same as training)")
@@ -187,6 +191,7 @@ def main(argv=None):
         charge_weight=args.charge_weight, charge_reward=args.charge_reward,
         merge_v_halves=args.merge_v, eps_init=args.eps_init,
         eps_cap=args.eps_cap, eps_trainable=not args.eps_fixed,
+        metric=args.metric,
     )
     key = jax.random.PRNGKey(args.seed)
     _trace(f"devices: {jax.devices()}")
@@ -279,6 +284,7 @@ def main(argv=None):
             "charge_weight": args.charge_weight,
             "train_steps": args.train_steps,
             "eps_init": args.eps_init, "eps_fixed": args.eps_fixed,
+            "metric": args.metric,
             "hmc_K": args.hmc_num_steps, "hmc_eps": args.hmc_eps,
         },
         "plaq_exact": round(float(u1.u1_plaq_exact(beta)), 6),

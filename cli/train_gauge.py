@@ -64,7 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="gauge action: Wilson or tree-level Symanzik-improved")
     p.add_argument("--rect_c1", type=float, default=-1.0 / 12.0,
                    help="rectangle coefficient for --action improved")
-    p.add_argument("--metric", default="cos_diff")
+    p.add_argument("--metric", default="cos_diff",
+                   help="ESJD metric: l1|l2|cos|cos2|cos_diff (link space, "
+                        "reference zoo) or plaq_cos|plaq_cos2 (observable "
+                        "space: jump in the plaquette field cos P)")
     p.add_argument("--loss_scale", type=float, default=0.1)
     p.add_argument("--std_weight", type=float, default=1.0)
     p.add_argument("--aux_weight", type=float, default=1.0)

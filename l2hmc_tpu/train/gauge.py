@@ -272,8 +272,23 @@ def _trainable(params: DynamicsParams) -> DynamicsParams:
 
 
 def make_loss_fn(cfg: GaugeConfig, dyn):
-    metric_fn = losses.get_metric_fn(cfg.metric)
     shape = cfg.shape
+    if cfg.metric in ("plaq_cos", "plaq_cos2"):
+        # Observable-space ESJD: measure the jump in the plaquette field
+        # cos(P) — the space the eval ESS is scored in — instead of link
+        # space (the reference zoo, gauge_model.py:631-657, is link-space
+        # only).  Same (batch, n) -> summed-over-axis(-1) contract as the
+        # link metrics, so esjd_loss is unchanged.
+        sq = cfg.metric == "plaq_cos2"
+
+        def metric_fn(x1, x2):
+            p1 = u1.plaq_sums(u1.to_links(x1, shape))
+            p2 = u1.plaq_sums(u1.to_links(x2, shape))
+            d = jnp.cos(p1) - jnp.cos(p2)
+            d = jnp.square(d) if sq else jnp.abs(d)
+            return d.reshape(*d.shape[:-2], -1)
+    else:
+        metric_fn = losses.get_metric_fn(cfg.metric)
 
     def loss_fn(params: DynamicsParams, x: jax.Array, beta, key: jax.Array):
         kx, kz, kzi = jax.random.split(key, 3)

@@ -247,3 +247,48 @@ def test_gauge_improved_action_trains(key):
     state, m = chunk(state, jax.random.fold_in(key, 1))
     assert np.all(np.isfinite(np.asarray(m["loss"])))
     assert float(np.asarray(m["accept_prob"])[-10:].mean()) > 0.1
+
+
+def test_plaq_metric_loss(key):
+    """The observable-space ESJD metric (metric='plaq_cos'): loss matches a
+    manual plaquette-field reconstruction and trains without NaNs."""
+    from l2hmc_tpu.train import losses
+    from l2hmc_tpu.train.gauge import build_dynamics, make_loss_fn
+
+    cfg = GaugeConfig(time_size=4, space_size=4, num_chains=16, num_steps=2,
+                      network_arch="mlp", num_hidden=16, metric="plaq_cos",
+                      charge_weight=0.0)
+    state = init_train_state(cfg, key)
+    x, beta = state.x, 2.0
+    lkey = jax.random.fold_in(key, 3)
+
+    got, _ = jax.jit(
+        lambda p, x, k: make_loss_fn(cfg, build_dynamics(cfg)[1])(
+            p, x, beta, k))(state.params, x, lkey)
+    got = float(got)
+
+    # manual reconstruction with the same key splits
+    _, dyn, _ = build_dynamics(cfg)
+    kx, kz, kzi = jax.random.split(lkey, 3)
+    out_x = dyn["transition"](state.params, x, beta, kx)
+    z = jax.random.normal(kzi, x.shape, x.dtype)
+    out_z = dyn["transition"](state.params, z, beta, kz)
+
+    def plaq_metric(x1, x2):
+        p1 = u1.plaq_sums(u1.to_links(x1, cfg.shape))
+        p2 = u1.plaq_sums(u1.to_links(x2, cfg.shape))
+        d = jnp.abs(jnp.cos(p1) - jnp.cos(p2))
+        return d.reshape(*d.shape[:-2], -1)
+
+    want = float(losses.esjd_loss(
+        x, out_x.x_proposed, out_x.accept_prob,
+        z, out_z.x_proposed, out_z.accept_prob,
+        metric_fn=plaq_metric, loss_scale=cfg.loss_scale,
+        aux_weight=cfg.aux_weight, std_weight=cfg.std_weight))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    # and the full training chunk runs on it
+    cfg2 = dataclasses.replace(cfg, train_steps=60)
+    st = init_train_state(cfg2, key)
+    st, m = make_train_chunk(cfg2, 30)(st, jax.random.fold_in(key, 9))
+    assert np.all(np.isfinite(np.asarray(m["loss"])))
