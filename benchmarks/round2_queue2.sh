@@ -32,10 +32,27 @@ run() {
 EVAL="--eval_steps 6000 --eval_chains 1024"
 B="--arch mlp --num_hidden 256 --merge_v --eps_fixed"
 
+# Every cell saves a flat-npz of its trained params so the overall
+# champion can be committed and loaded by bench.py's learned-sampler
+# headline section.
+sv() { echo "--save_npz runs/h2h/$1.npz"; }
+
 # trajectory-length ladder at fixed eps (zero-init starts at plain HMC of
 # the same (K, eps); training must detune the resonance to win)
-run mlp_h256_K5_eps10fix $EVAL $B --num_steps 5 --eps_init 0.10
-run mlp_h256_K6_eps08fix $EVAL $B --num_steps 6 --eps_init 0.08
-run mlp_h256_K5_eps12fix $EVAL $B --num_steps 5 --eps_init 0.12
+run mlp_h256_K5_eps10fix $EVAL $B --num_steps 5 --eps_init 0.10 \
+    $(sv mlp_h256_K5_eps10fix)
+run mlp_h256_K6_eps08fix $EVAL $B --num_steps 6 --eps_init 0.08 \
+    $(sv mlp_h256_K6_eps08fix)
+run mlp_h256_K5_eps12fix $EVAL $B --num_steps 5 --eps_init 0.12 \
+    $(sv mlp_h256_K5_eps12fix)
+
+# observable-space ESJD objective at the winning fixed-eps point
+run mlp_h256_K5_eps08fix_plaqm $EVAL $B --num_steps 5 --eps_init 0.08 \
+    --metric plaq_cos $(sv mlp_h256_K5_eps08fix_plaqm)
+
+# reproduce the current champion (seed is fixed, so this retrains the
+# exact measured eps08fix kernel) and save its params for bench.py
+run champ_eps08fix $EVAL $B --num_steps 5 --eps_init 0.08 \
+    $(sv champ_eps08fix)
 
 echo "round2 queue2 done"

@@ -169,7 +169,11 @@ def main(argv=None):
                         "(trained MLP+merge_v kernel vs Pallas HMC chain) "
                         "to the XLA-scan comparison")
     p.add_argument("--save_params", default="",
-                   help="npz path to save trained params + config json")
+                   help="Orbax dir to save the full train state")
+    p.add_argument("--save_npz", default="",
+                   help="flat-leaf npz of the trained params + config "
+                        "(bench.py champion format: arr_i = tree_flatten "
+                        "leaves in order, config = json string)")
     p.add_argument("--params_from", default="",
                    help="skip training; load params from a --save_params npz")
     p.add_argument("--label", default="")
@@ -222,6 +226,12 @@ def main(argv=None):
         if args.save_params:
             ckpt.save_checkpoint(args.save_params, state, int(state.step), cfg)
             _trace(f"saved params to {args.save_params}")
+        if args.save_npz:
+            flat, _ = jax.tree_util.tree_flatten(state.params)
+            np.savez(
+                args.save_npz, *[np.asarray(a) for a in flat],
+                config=json.dumps(dataclasses.asdict(cfg)))
+            _trace(f"saved flat params npz to {args.save_npz}")
 
     beta = cfg.beta_final
     eval_chains = args.eval_chains or cfg.num_chains

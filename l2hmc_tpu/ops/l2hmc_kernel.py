@@ -395,7 +395,10 @@ def _build_kernel(lt, lx, K, num_transitions, tile_b, bounded_q, rand,
                 v0, v1 = _normal_pair((tile_b, d))
                 dbits = pltpu.bitcast(
                     pltpu.prng_random_bits((tile_b, d)), jnp.uint32)
-                dsg = ((dbits[:, 0] & 1) * 2).astype(jnp.float32) - 1.0
+                # via int32: Mosaic has no uint32->f32 cast (cf. leapfrog's
+                # _uniform_from_bits)
+                dsg = ((dbits[:, 0] & 1).astype(jnp.int32) * 2
+                       ).astype(jnp.float32) - 1.0
                 ubits = pltpu.bitcast(
                     pltpu.prng_random_bits((tile_b, d)), jnp.uint32)
                 u = _uniform_from_bits(ubits)[:, 0]
