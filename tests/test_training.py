@@ -292,3 +292,27 @@ def test_plaq_metric_loss(key):
     st = init_train_state(cfg2, key)
     st, m = make_train_chunk(cfg2, 30)(st, jax.random.fold_in(key, 9))
     assert np.all(np.isfinite(np.asarray(m["loss"])))
+
+
+def test_eps_fixed_training_freezes_eps(key):
+    """--eps_fixed path (the round-2 champion recipe): raw_eps must stay
+    bit-identical through training while the conditioners move."""
+    from l2hmc_tpu.dynamics.l2hmc import get_eps
+    from l2hmc_tpu.train.gauge import build_dynamics
+
+    cfg = GaugeConfig(time_size=4, space_size=4, num_chains=16, num_steps=2,
+                      network_arch="mlp", num_hidden=16, train_steps=60,
+                      eps_init=0.1, eps_trainable=False)
+    state = init_train_state(cfg, key)
+    dyn_cfg, _, _ = build_dynamics(cfg)
+    eps0 = float(get_eps(state.params, dyn_cfg))
+    assert eps0 == pytest.approx(0.1, rel=1e-6)
+
+    x0 = np.asarray(jax.tree_util.tree_leaves(state.params.xnet)[0])
+    state, m = make_train_chunk(cfg, 30)(state, jax.random.fold_in(key, 1))
+    state, m = make_train_chunk(cfg, 30)(state, jax.random.fold_in(key, 2))
+
+    assert float(get_eps(state.params, dyn_cfg)) == eps0, "eps moved"
+    x1 = np.asarray(jax.tree_util.tree_leaves(state.params.xnet)[0])
+    assert not np.allclose(x0, x1), "conditioners did not train"
+    assert np.all(np.isfinite(np.asarray(m["loss"])))
