@@ -39,9 +39,14 @@ run mlp_h256_K5_eps08fix_fused --eval_steps 6000 --eval_chains 2048 \
 # 4. large-volume DA validation (VERDICT item 8)
 echo "=== 64x64 DA-warmup run"
 if [ ! -s runs/davalid/l64.log ] || ! grep -q "eval beta" runs/davalid/l64.log; then
+  # DA active through the WHOLE anneal: a 500-step warmup freezes eps at
+  # its beta=2 value, which collapses acceptance to 0 once beta reaches ~3
+  # at this volume (measured: dead-gradient trap at step ~1700).  With
+  # eps_warmup_steps == train_steps dual averaging keeps tracking the
+  # target acceptance as beta rises — no hand-set eps anywhere.
   timeout 3000 python cli/train_gauge.py \
     --time_size 64 --space_size 64 --num_samples 16 --num_hidden 2048 \
-    --train_steps 3000 --eps_warmup_steps 500 --eps_fixed \
+    --train_steps 3000 --eps_warmup_steps 3000 --eps_fixed \
     --eval_init metropolis --run_steps 6000 --logging_steps 100 \
     --log_dir runs/davalid/gauge64 > runs/davalid/l64.log 2>&1
 fi
@@ -51,7 +56,7 @@ echo "=== 128x128 DA-warmup run"
 if [ ! -s runs/davalid/l128.log ] || ! grep -q "eval beta" runs/davalid/l128.log; then
   timeout 3000 python cli/train_gauge.py \
     --time_size 128 --space_size 128 --num_samples 4 --num_hidden 512 \
-    --train_steps 1000 --lr_init 2e-5 --eps_warmup_steps 300 --eps_fixed \
+    --train_steps 1000 --lr_init 2e-5 --eps_warmup_steps 1000 --eps_fixed \
     --eval_init metropolis --run_steps 1500 --logging_steps 50 \
     --log_dir runs/davalid/gauge128 > runs/davalid/l128.log 2>&1
 fi
