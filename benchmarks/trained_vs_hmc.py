@@ -47,25 +47,35 @@ def run_eval(cfg, params, x, beta, key, num_steps, chunk_size=1000):
     """Timed eval on the shared harness: returns traces + wall seconds."""
     from l2hmc_tpu.train.gauge import make_eval_chunk
 
-    chunk = make_eval_chunk(cfg, chunk_size)
+    base_chunk = make_eval_chunk(cfg, chunk_size)
+
+    # Slice the observable traces on-device to the chains the estimators
+    # use (trace_stats reads 64) BEFORE the host transfer: the tunnel
+    # transfer of full-batch traces is harness overhead, not sampling
+    # cost, and it is stripped identically for both samplers.  Total-wall
+    # timing over all chunks (NOT best-chunk: async dispatch overlaps
+    # device work with host transfers, so per-chunk minima systematically
+    # undercount steady-state cost — and more so for the cheaper sampler).
+    @jax.jit
+    def chunk(params, x, beta, key):
+        x, m = base_chunk(params, x, beta, key)
+        return x, {k: v[:, :64] for k, v in m.items()}
+
     # compile + warm outside the timed region
     x, m = chunk(params, x, beta, key)
     float(np.asarray(m["charges"]).sum())
-    plaqs, charges, accepts, dts = [], [], [], []
+    plaqs, charges, accepts = [], [], []
+    t0 = time.perf_counter()
     done = 0
     while done < num_steps:
         key, sub = jax.random.split(key)
-        t0 = time.perf_counter()
         x, m = chunk(params, x, beta, sub)
-        plaqs.append(np.asarray(m["plaqs"]))          # drains the chunk
-        dts.append(time.perf_counter() - t0)
         done += chunk_size
+        plaqs.append(np.asarray(m["plaqs"]))
         charges.append(np.asarray(m["charges"]))
         accepts.append(np.asarray(m["accept_prob"]))
-    # best-rate wall: identical chunks, so min(dt)*n strips transient
-    # tunnel/host slowdowns (measured +-15% chunk-to-chunk on axon) the
-    # same way for both samplers; the ratio columns stay apples-to-apples
-    wall = len(dts) * min(dts)
+    # drain: the appends above already pulled device->host
+    wall = time.perf_counter() - t0
     return (np.concatenate(plaqs), np.concatenate(charges),
             float(np.concatenate(accepts).mean()), wall, x)
 
@@ -119,10 +129,15 @@ def run_eval_fused(kind, cfg, params, x, beta, key, num_steps, eps=None,
             float(np.concatenate(probs).mean()), wall, u1.to_flat(links))
 
 
-def trace_stats(arr, wall, max_chains=64):
-    """ESS ratio / tau_int / eff-samples-per-second for a (T, chains) trace."""
+def trace_stats(arr, wall, max_chains=64, total_chains=None):
+    """ESS ratio / tau_int / eff-samples-per-second for a (T, chains) trace.
+
+    ``total_chains``: chains the timed run actually advanced (the trace may
+    be an on-device slice of the batch); eff samples/s scales with it.
+    """
     from l2hmc_tpu.analysis import stats
 
+    total = total_chains or arr.shape[1]
     cols = range(min(max_chains, arr.shape[1]))
     ess = float(np.mean([stats.calc_ess(arr[:, c]) for c in cols]))
     taus = [stats.integrated_time(arr[:, c]) for c in cols]
@@ -130,7 +145,7 @@ def trace_stats(arr, wall, max_chains=64):
         "ess_ratio": round(ess, 5),
         "tau_int": round(float(np.mean([t for t, _ in taus])), 2),
         "tau_reliable_frac": round(float(np.mean([ok for _, ok in taus])), 2),
-        "eff_samples_per_s": round(ess * arr.shape[0] * arr.shape[1] / wall, 1),
+        "eff_samples_per_s": round(ess * arr.shape[0] * total / wall, 1),
         "steps_per_s": round(arr.shape[0] / wall, 1),
     }
 
@@ -204,7 +219,23 @@ def main(argv=None):
     _trace(f"devices: {jax.devices()}")
 
     state = init_train_state(cfg, key)
-    if args.params_from:
+    if args.params_from and args.params_from.endswith(".npz"):
+        # flat-leaf npz from --save_npz: params only, so thermalize the
+        # eval start with exact checkerboard Metropolis sweeps instead of
+        # the (absent) annealed chain state
+        z = np.load(args.params_from, allow_pickle=False)
+        flat, treedef = jax.tree_util.tree_flatten(state.params)
+        params = jax.tree_util.tree_unflatten(
+            treedef, [jnp.asarray(z[f"arr_{i}"]) for i in range(len(flat))])
+        from l2hmc_tpu.lattice.metropolis import thermalize
+        key, tk = jax.random.split(key)
+        x_th = jax.jit(lambda x, k: thermalize(
+            k, x, cfg.shape, cfg.beta_final, 500))(state.x, tk)
+        state = state._replace(params=params, x=x_th)
+        _trace(f"restored params npz {args.params_from}; "
+               f"500-sweep Metropolis thermalization done")
+        train_wall = 0.0
+    elif args.params_from:
         state = ckpt.restore_checkpoint(args.params_from, state)
         _trace(f"restored params from {args.params_from} "
                f"(step {int(state.step)})")
@@ -252,8 +283,8 @@ def main(argv=None):
     res_l2 = {
         "sampler": "l2hmc_trained",
         "accept_prob": round(acc_l2, 4),
-        "plaq": trace_stats(plaq_l2, wall_l2),
-        "charge": trace_stats(q_l2, wall_l2),
+        "plaq": trace_stats(plaq_l2, wall_l2, total_chains=eval_chains),
+        "charge": trace_stats(q_l2, wall_l2, total_chains=eval_chains),
         "tunneling_rate_per_step": round(
             float(np.abs(np.diff(q_l2, axis=0)).mean()), 5),
         "plaq_mean": round(float(plaq_l2[args.eval_steps // 4:].mean()), 6),
@@ -274,8 +305,8 @@ def main(argv=None):
     res_hmc = {
         "sampler": f"hmc_K{args.hmc_num_steps}_eps{args.hmc_eps}",
         "accept_prob": round(acc_h, 4),
-        "plaq": trace_stats(plaq_h, wall_h),
-        "charge": trace_stats(q_h, wall_h),
+        "plaq": trace_stats(plaq_h, wall_h, total_chains=eval_chains),
+        "charge": trace_stats(q_h, wall_h, total_chains=eval_chains),
         "tunneling_rate_per_step": round(
             float(np.abs(np.diff(q_h, axis=0)).mean()), 5),
         "plaq_mean": round(float(plaq_h[args.eval_steps // 4:].mean()), 6),
