@@ -158,6 +158,9 @@ def main(argv=None):
     p.add_argument("--num_hidden", type=int, default=0, help="0 -> 2*x_dim")
     p.add_argument("--num_steps", type=int, default=3, help="leapfrog steps K")
     p.add_argument("--merge_v", action="store_true")
+    p.add_argument("--use_bf16", action="store_true",
+                   help="bfloat16 matmuls (f32 accumulation) in the S/T/Q "
+                        "nets; MH accept stays f32-exact")
     p.add_argument("--charge_reward", action="store_true")
     p.add_argument("--charge_weight", type=float, default=1.0)
     p.add_argument("--eps_init", type=float, default=0.35)
@@ -213,7 +216,7 @@ def main(argv=None):
         charge_weight=args.charge_weight, charge_reward=args.charge_reward,
         merge_v_halves=args.merge_v, eps_init=args.eps_init,
         eps_cap=args.eps_cap, eps_trainable=not args.eps_fixed,
-        metric=args.metric,
+        metric=args.metric, use_bf16=args.use_bf16,
     )
     key = jax.random.PRNGKey(args.seed)
     _trace(f"devices: {jax.devices()}")

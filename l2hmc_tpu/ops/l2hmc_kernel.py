@@ -180,12 +180,46 @@ def _time_enc(idx, K):
     return jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1)
 
 
+_TAN_3PI_8 = 2.414213562373095   # tan(3*pi/8)
+_TAN_PI_8 = 0.4142135623730950   # tan(pi/8)
+
+
+def _atan_f32(x):
+    """Elementwise arctan via Cephes-style range reduction + minimax poly.
+
+    Mosaic lowers no atan/atan2 primitive (checked against the lowering
+    registry), so the kernel carries its own: ~2-ulp f32 accuracy, the
+    same class as a libm atanf.  Handles +-inf (-> +-pi/2) so the caller
+    may divide by a cosine that underflows to 0.
+    """
+    sgn = jnp.where(x < 0.0, -1.0, 1.0)
+    ax = jnp.abs(x)
+    big = ax > _TAN_3PI_8
+    mid = ax > _TAN_PI_8
+    # reduced argument z in [-tan(pi/8), tan(pi/8)]
+    z = jnp.where(big, -1.0 / jnp.maximum(ax, 1e-30),
+                  jnp.where(mid, (ax - 1.0) / (ax + 1.0), ax))
+    base = jnp.where(big, np.pi / 2, jnp.where(mid, np.pi / 4, 0.0))
+    zz = z * z
+    p = ((8.05374449538e-2 * zz - 1.38776856032e-1) * zz
+         + 1.99777106478e-1) * zz - 3.33329491539e-1
+    r = base + (z + z * zz * p)
+    # inf -> z = -0, r = pi/2 exactly; propagate NaN untouched
+    return sgn * r
+
+
 def _circle_scale(x, a):
     """2 atan(exp(a) tan(x/2)) with exact log-Jacobian (l2hmc.py
-    circle_scale)."""
+    circle_scale).
+
+    The caller always passes wrapped angles (|x| <= pi), so
+    cos(x/2) >= 0 and the two-argument atan2 reduces to the one-argument
+    atan of the ratio (+-inf at the +-pi endpoint is handled by
+    :func:`_atan_f32`).
+    """
     s2, c2 = jnp.sin(0.5 * x), jnp.cos(0.5 * x)
     ea = jnp.exp(a)
-    y = 2.0 * jnp.arctan2(ea * s2, c2)
+    y = 2.0 * _atan_f32(ea * s2 / jnp.maximum(c2, 1e-38))
     logdet = a - jnp.log(c2 * c2 + ea * ea * s2 * s2)
     return y, logdet
 
