@@ -205,46 +205,56 @@ def main():
     # trajectory-length resonance at eps*K ~ 0.6)
     ess_chains = 2048
     ess_leapfrog, ess_eps = 5, 0.08
-    links = jnp.zeros((ess_chains, cfg.time_size, cfg.space_size, 2))
+    ess_err = {}
+    try:
+        links = jnp.zeros((ess_chains, cfg.time_size, cfg.space_size, 2))
 
-    # 1500 transitions per kernel call: fewer tunnel dispatches per
-    # recorded sample (3 x 500 measured ~30% slower from per-call overhead)
-    @jax.jit
-    def record(links, key):
-        links, pl_tr, _, _ = hmc_chain_u1_fused(
-            links, key, ess_eps, 4.0, ess_leapfrog, 1500)
-        # 16-chain trace slice for the ESS estimate + a scalar drain digest;
-        # everything else stays on-device (no eager ops in the timed loop —
-        # on the axon tunnel every eager dispatch is a network round-trip)
-        return links, pl_tr[:, :16], jnp.sum(pl_tr)
+        # 1500 transitions per kernel call: fewer tunnel dispatches per
+        # recorded sample (3 x 500 measured ~30% slower from per-call
+        # overhead)
+        @jax.jit
+        def record(links, key):
+            links, pl_tr, _, _ = hmc_chain_u1_fused(
+                links, key, ess_eps, 4.0, ess_leapfrog, 1500)
+            # 16-chain trace slice for the ESS estimate + a scalar drain
+            # digest; everything else stays on-device (no eager ops in the
+            # timed loop — on the axon tunnel every eager dispatch is a
+            # network round-trip)
+            return links, pl_tr[:, :16], jnp.sum(pl_tr)
 
-    keys = jax.random.split(key, 3)
-    links, pl0, d0 = record(links, keys[0])      # thermalize + compile
-    float(d0)
-    t0 = time.perf_counter()
-    handles = []
-    for i in range(2):
-        links, pl16, digest = record(links, keys[i + 1])
-        float(digest)                            # drain (timed)
-        handles.append(pl16)
-    wall = time.perf_counter() - t0
-    # trace readback for the ESS estimate happens OUTSIDE the timed region
-    # (observables stay on-device in production; the tunnel transfer is not
-    # sampling cost)
-    pl = np.concatenate([np.asarray(h) for h in handles])  # (3000, 16)
-    ess_ratio = float(np.mean([
-        _stats.calc_ess(pl[:, c]) for c in range(pl.shape[1])
-    ]))
-    ess_per_s = ess_ratio * pl.shape[0] * ess_chains / wall
-    _trace(f"ESS ratio {ess_ratio:.4f} -> {ess_per_s:,.0f} eff samples/s "
-           f"(fused Pallas HMC chain @{ess_chains})")
+        keys = jax.random.split(key, 3)
+        links, pl0, d0 = record(links, keys[0])      # thermalize + compile
+        float(d0)
+        t0 = time.perf_counter()
+        handles = []
+        for i in range(2):
+            links, pl16, digest = record(links, keys[i + 1])
+            float(digest)                            # drain (timed)
+            handles.append(pl16)
+        wall = time.perf_counter() - t0
+        # trace readback for the ESS estimate happens OUTSIDE the timed
+        # region (observables stay on-device in production; the tunnel
+        # transfer is not sampling cost)
+        pl = np.concatenate([np.asarray(h) for h in handles])  # (3000, 16)
+        ess_ratio = float(np.mean([
+            _stats.calc_ess(pl[:, c]) for c in range(pl.shape[1])
+        ]))
+        ess_per_s = ess_ratio * pl.shape[0] * ess_chains / wall
+        _trace(f"ESS ratio {ess_ratio:.4f} -> {ess_per_s:,.0f} eff samples/s "
+               f"(fused Pallas HMC chain @{ess_chains})")
+    except Exception as e:   # noqa: BLE001 — Pallas lowering regressions in
+        # jax upgrades must not kill the benchmark line (see trained-fused)
+        ess_ratio, ess_per_s = 0.0, 0.0
+        ess_err = {"plaq_ess_error": repr(e)[:200]}
+        _trace(f"fused-HMC ESS section failed, continuing: {e!r}")
 
     # fused TRAINED-kernel chain (ops/l2hmc_kernel.py): the flagship learned
     # sampler's whole chain in one pallas_call (MLP h256 + merge_v family,
     # throughput is weight-value-independent so fresh init measures the
     # trained kernel's speed), vs its XLA-scan form.
     trained_fused = {}
-    if jax.devices()[0].platform == "tpu":
+    try:
+      if jax.devices()[0].platform == "tpu":
         import dataclasses as _dc1
 
         from l2hmc_tpu.dynamics.l2hmc import get_eps
@@ -304,6 +314,11 @@ def main():
         }
         _trace(f"trained fused chain: {ratef:,.0f} lf-steps/s vs XLA "
                f"{ratex:,.0f} -> {ratef/ratex:.2f}x")
+    except Exception as e:   # noqa: BLE001 — a Pallas lowering regression in
+        # a jax upgrade must not kill the whole benchmark (seen: uint32 cast
+        # and atan2 both dropped from Mosaic between container builds)
+        trained_fused = {"trained_fused_error": repr(e)[:200]}
+        _trace(f"trained-fused section failed, continuing: {e!r}")
 
     # --- learned-sampler headline (VERDICT round-1 item 1) ---
     # ESS/s of the TRAINED champion kernel vs HMC at its own joint (K, eps)
@@ -314,7 +329,8 @@ def main():
     # below stands alone.
     trained_headline = {}
     champ_path = Path(__file__).parent / "benchmarks" / "champion_16x16.npz"
-    if champ_path.exists():
+    try:
+      if champ_path.exists():
         import dataclasses as _dc2
         import json as _json
 
@@ -343,26 +359,32 @@ def main():
             x0, jax.random.fold_in(key, 11))
 
         def timed_eval(cfg_e, params_e, tag):
-            chunk_e = _Gc.make_eval_chunk(cfg_e, 1000)
+            base_e = _Gc.make_eval_chunk(cfg_e, 1000)
+
+            # same harness convention as trained_vs_hmc.run_eval: slice the
+            # observable traces on-device to the 64 chains the estimators
+            # read, total-wall timing over all chunks
+            @jax.jit
+            def chunk_e(params, x, beta, k):
+                x, m = base_e(params, x, beta, k)
+                return x, {n: v[:, :64] for n, v in m.items()}
+
             xx, m = chunk_e(params_e, x0, 4.0, key)   # compile + warm
             float(np.asarray(m["charges"]).sum())
-            pls, qs, dts = [], [], []
+            pls, qs = [], []
             kk = jax.random.fold_in(key, 13)
+            t0 = time.perf_counter()
             for i in range(3):
                 kk, sub = jax.random.split(kk)
-                t0 = time.perf_counter()
                 xx, m = chunk_e(params_e, xx, 4.0, sub)
                 pls.append(np.asarray(m["plaqs"]))    # drains the chunk
-                dts.append(time.perf_counter() - t0)
                 qs.append(np.asarray(m["charges"]))
-            # best-rate wall (same convention as trained_vs_hmc.run_eval):
-            # strips transient tunnel slowdowns identically for both samplers
-            wall_e = len(dts) * min(dts)
+            wall_e = time.perf_counter() - t0
             pl_e = np.concatenate(pls)
             q_e = np.concatenate(qs)
             ess_e = float(np.mean(
                 [_stats.calc_ess(pl_e[:, c]) for c in range(64)]))
-            eff = ess_e * pl_e.shape[0] * pl_e.shape[1] / wall_e
+            eff = ess_e * pl_e.shape[0] * cfg_e.num_chains / wall_e
             tun = float(np.abs(np.diff(q_e, axis=0)).mean()) \
                 * pl_e.shape[0] / wall_e
             _trace(f"{tag}: ESS {ess_e:.4f}, {eff:,.0f} eff samples/s, "
@@ -382,6 +404,10 @@ def main():
                 f"K={cfg_d.get('num_steps')} eps_fixed "
                 f"merge_v={cfg_d.get('merge_v_halves')} @1024 chains"),
         }
+    except Exception as e:   # noqa: BLE001 — optional section; never kill
+        # the benchmark line over it
+        trained_headline = {"trained_headline_error": repr(e)[:200]}
+        _trace(f"champion headline section failed, continuing: {e!r}")
 
     result = {
         "metric": "leapfrog_steps_per_s_per_chip",
@@ -404,10 +430,11 @@ def main():
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
         **roofline,
+        **ess_err,
         **trained_fused,
         **trained_headline,
     }
-    if trained_headline:
+    if "trained_plaq_ess_per_s" in trained_headline:
         # headline = the LEARNED sampler (the reference's raison d'etre):
         # effective plaquette samples/s of the trained champion kernel,
         # vs_baseline = cost-normalized ratio over HMC at its own joint
