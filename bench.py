@@ -262,14 +262,17 @@ def main():
         from l2hmc_tpu.ops.l2hmc_kernel import l2hmc_chain_pallas
         from l2hmc_tpu.train import gauge as _G
 
+        # h64 = the shipped champion's width (quality is width-independent,
+        # RESULTS.md); also fits this compiler build's 16M scoped-VMEM limit
+        # where h256 + 500-step trace blocks exceeded it by 1.14M
         mcfg = _dc1.replace(
-            cfg, num_chains=2048, network_arch="mlp", num_hidden=256,
+            cfg, num_chains=2048, network_arch="mlp", num_hidden=64,
             merge_v_halves=True)
         mstate = _G.init_train_state(mcfg, key)
         dyn_cfg, mdyn, _ = _G.build_dynamics(mcfg)
         eps_v = float(get_eps(mstate.params, dyn_cfg))
         links_t = _u1.to_links(mstate.x, mcfg.shape)
-        NT = 500
+        NT = 400
 
         runf = jax.jit(lambda l, k: l2hmc_chain_pallas(
             l, mstate.params, k, eps_v, 4.0, mcfg.num_steps, NT))
@@ -309,8 +312,8 @@ def main():
             "trained_fused_vs_xla": round(ratef / ratex, 3),
             "trained_fused_ms_per_transition": round(bestf * 1e3 / NT, 4),
             "trained_fused_config": (
-                f"MLP h256 merge_v K={mcfg.num_steps} @2048 chains "
-                f"(ops/l2hmc_kernel.py)"),
+                f"MLP h{mcfg.hidden} merge_v K={mcfg.num_steps} @2048 "
+                f"chains (ops/l2hmc_kernel.py)"),
         }
         _trace(f"trained fused chain: {ratef:,.0f} lf-steps/s vs XLA "
                f"{ratex:,.0f} -> {ratef/ratex:.2f}x")
