@@ -244,7 +244,7 @@ def main():
                f"(fused Pallas HMC chain @{ess_chains})")
     except Exception as e:   # noqa: BLE001 — Pallas lowering regressions in
         # jax upgrades must not kill the benchmark line (see trained-fused)
-        ess_ratio, ess_per_s = 0.0, 0.0
+        ess_ratio, ess_per_s = None, None
         ess_err = {"plaq_ess_error": repr(e)[:200]}
         _trace(f"fused-HMC ESS section failed, continuing: {e!r}")
 
@@ -426,8 +426,10 @@ def main():
         "lf_steps_per_s_128chains": round(fused128, 1),
         "ms_per_transition_128": round(dt * 1e3 / CHUNK, 4),
         "accept_prob_untrained": round(acc, 4),
-        "plaq_ess_per_s": round(ess_per_s, 1),
-        "plaq_ess_ratio_hmc": round(ess_ratio, 5),
+        # None (JSON null) when the section errored — a measured zero and a
+        # failed measurement must stay distinguishable downstream
+        "plaq_ess_per_s": None if ess_per_s is None else round(ess_per_s, 1),
+        "plaq_ess_ratio_hmc": None if ess_ratio is None else round(ess_ratio, 5),
         "plaq_ess_kernel": (f"pallas_fused_hmc_chain@{ess_chains} "
                             f"K={ess_leapfrog} eps={ess_eps}"),
         "platform": jax.devices()[0].platform,
@@ -450,6 +452,9 @@ def main():
             unit="effective plaquette samples/s",
             vs_baseline=trained_headline["trained_vs_hmc_optimal_ess_per_s"],
             baseline_def="HMC at its own (K,eps) ESS/s optimum, same harness",
+            # config must describe the headline's own setup, not the
+            # raw-throughput section's CNN config (ADVICE r2)
+            config=trained_headline["trained_config"],
             vs_baseline_dataflow=round(fused_rate / ref_rate, 3),
             lf_steps_per_s_merged_kernel=round(fused_rate, 1),
         )

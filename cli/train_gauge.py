@@ -116,6 +116,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--summary_steps", type=int, default=0,
                    help="per-variable param summaries every N steps (0=off; "
                         "reference variable_summaries, utils/tf_logging.py:74-86)")
+    p.add_argument("--grad_summaries", action="store_true",
+                   help="per-variable parameter AND gradient "
+                        "mean/std/min/max/l2 stats computed on-device each "
+                        "step, written into every metrics.jsonl record "
+                        "(reference _create_summaries, gauge_model.py:853-886)")
     p.add_argument("--profile", action="store_true",
                    help="jax.profiler trace of steps 10-20")
     return p
@@ -149,6 +154,7 @@ def flags_to_config(a):
         merge_v_halves=a.merge_v_halves,
         eps_warmup_steps=a.eps_warmup_steps,
         eps_target_accept=a.eps_target_accept,
+        grad_summaries=a.grad_summaries,
     )
 
 
@@ -227,6 +233,13 @@ def main(argv=None):
                 with jax.profiler.trace(str(run_dir / "profile")):
                     state, metrics = train_chunk(state, sub)
                     jax.block_until_ready(state.x)
+                # reference parity: dump the op-view digest right after the
+                # traced window (gauge_model.py:1048-1071)
+                from l2hmc_tpu.analysis.profile_digest import write_digest
+
+                digest = write_digest(run_dir / "profile", run_dir)
+                if digest is not None:
+                    log(f"profile digest: {digest}")
             else:
                 state, metrics = train_chunk(state, sub)
             step = int(state.step)

@@ -300,6 +300,9 @@ def _l2hmc_transition_math(
                 (y0_, w0_, s0, t0, q0, hold0), (y1_, w1_, s1, t1, q1, hold1)):
             es = eps * s_
             b = eps * (jnp.exp(eps * q_) * w_ + t_)
+            # u_in stays in [-pi, pi) by construction: the forward branch
+            # feeds y_ (an output of _wrap/_circle_scale), the backward one
+            # wraps explicitly — _circle_scale's |x| <= pi precondition holds
             u_in = jnp.where(d_col > 0, y_, _wrap(y_ - b))
             y2, ld_e = _circle_scale(u_in, d_col * es)
             upd = jnp.where(d_col > 0, _wrap(y2 + b), y2)

@@ -194,3 +194,39 @@ def test_argfile_comments_and_inline_values():
         ["@" + str(Path(__file__).parent.parent / "configs" / "mog_2d.txt")]
     )
     assert a.target == "gmm_axes" and a.annealing and a.temp_init == 10.0
+
+
+def test_profile_digest_from_real_trace(tmp_path):
+    """Trace a tiny jit program, then digest the chrome trace into the
+    reference-style top-ops table (gauge_model.py:1048-1071 parity)."""
+    import jax
+    import jax.numpy as jnp
+
+    from l2hmc_tpu.analysis.profile_digest import (
+        digest_trace, format_table, write_digest,
+    )
+
+    prof = tmp_path / "profile"
+    with jax.profiler.trace(str(prof)):
+        x = jnp.ones((256, 256))
+        y = jax.jit(lambda a: jnp.sin(a @ a).sum())(x)
+        y.block_until_ready()
+
+    rows = digest_trace(prof, top_k=10)
+    assert rows, "no events digested from the trace"
+    assert all(len(r) == 4 for r in rows)
+    # sorted by total time, python-frame events dropped
+    assert rows == sorted(rows, key=lambda r: -r[1])
+    assert not any(r[0].startswith("$") for r in rows)
+    table = format_table(rows)
+    assert "total_ms" in table and "pct" in table
+
+    out = write_digest(prof, tmp_path)
+    # (no exact-equality check vs `table`: the profiler may still be
+    # flushing events when the first read happens, so re-digests can see
+    # more events — the written file just has to be a valid table)
+    assert out is not None
+    content = out.read_text()
+    assert "total_ms" in content and len(content.splitlines()) >= 3
+    # no trace -> graceful None
+    assert write_digest(tmp_path / "nope", tmp_path) is None

@@ -116,6 +116,28 @@ def test_gauge_train_chunk_runs_and_improves(key):
     assert float(jnp.max(jnp.abs(state.x))) <= np.pi + 1e-5
 
 
+def test_grad_summaries_in_metrics(key):
+    """grad_summaries=True surfaces per-variable param/grad stats in the
+    train-step metrics (reference gauge_model.py:853-886 parity)."""
+    cfg = GaugeConfig(time_size=4, space_size=4, num_chains=8, num_steps=2,
+                      network_arch="mlp", num_hidden=16, train_steps=10,
+                      beta_init=2.0, beta_final=2.0, grad_summaries=True)
+    state = init_train_state(cfg, key)
+    chunk = make_train_chunk(cfg, 2)
+    _, m = chunk(state, jax.random.fold_in(key, 1))
+    grad_keys = [k for k in m if k.startswith("grads/")]
+    param_keys = [k for k in m if k.startswith("params/")]
+    assert "grads/global_norm" in m
+    # every xnet/vnet leaf gets all five stats
+    assert any("xnet" in k and k.endswith("/l2") for k in grad_keys)
+    assert any("vnet" in k and k.endswith("/stddev") for k in param_keys)
+    for k in ("grads/global_norm",) + tuple(grad_keys[:3]):
+        assert np.all(np.isfinite(np.asarray(m[k]))), k
+    # masks grads are nulled, so their summary must be exactly zero
+    mask_l2 = [k for k in grad_keys if "masks" in k and k.endswith("/l2")]
+    assert mask_l2 and float(np.asarray(m[mask_l2[0]]).max()) == 0.0
+
+
 def test_gauge_eval_plaquette_near_oracle(key):
     """HMC-mode eval on 4x4 at beta=2 must land near I1/I0(2)=0.6978."""
     cfg = GaugeConfig(time_size=4, space_size=4, num_chains=64, num_steps=4,
