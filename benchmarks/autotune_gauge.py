@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Cold-start (K, eps) auto-tune validation (VERDICT r2 item 4).
+
+Runs the probe-based joint search (``train/autotune.py``) at a given
+volume with NO hand-tuned inputs, then (optionally) trains the winning
+trained-kernel cell full-length and scores it against the auto-tuned HMC
+optimum on the shared eval harness — the same protocol as
+``trained_vs_hmc.py``.  Success criterion (r2 verdict): the cold-start
+recipe lands within ~5% of the hand-swept champion at 16x16 and transfers
+untouched to 32x32.
+
+Usage:
+  python benchmarks/autotune_gauge.py --size 16
+  python benchmarks/autotune_gauge.py --size 32 --train_steps 8000
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+import numpy as np
+
+
+def _trace(msg):
+    print(f"[tune {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--size", type=int, default=16)
+    p.add_argument("--beta", type=float, default=4.0)
+    p.add_argument("--num_chains", type=int, default=128)
+    p.add_argument("--eval_chains", type=int, default=1024)
+    p.add_argument("--num_hidden", type=int, default=64)
+    p.add_argument("--hmc_k_grid", default="3,4,5,6,8")
+    p.add_argument("--l2hmc_k_grid", default="2,3,4,5")
+    p.add_argument("--probe_train_steps", type=int, default=2000)
+    p.add_argument("--train_steps", type=int, default=12000,
+                   help="full training for the winning cell (0 = tune only)")
+    p.add_argument("--eval_steps", type=int, default=6000)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--out", default="")
+    args = p.parse_args(argv)
+
+    from l2hmc_tpu.lattice import u1
+    from l2hmc_tpu.lattice.metropolis import thermalize
+    from l2hmc_tpu.train.autotune import tune_hmc, tune_l2hmc
+    from l2hmc_tpu.train.gauge import (
+        GaugeConfig, init_train_state, make_train_chunk,
+    )
+
+    base = GaugeConfig(
+        time_size=args.size, space_size=args.size,
+        num_chains=args.num_chains, network_arch="mlp",
+        num_hidden=args.num_hidden, merge_v_halves=True,
+        # volume-scaled starting eps for the DA search (cli resolve_eps)
+        eps_init=0.35 * (64.0 / (args.size * args.size)) ** 0.25,
+        beta_init=2.0, beta_final=args.beta,
+    )
+    key = jax.random.PRNGKey(args.seed)
+    _trace(f"devices: {jax.devices()}; size {args.size}, "
+           f"eps_init(DA start) {base.eps_init:.4f}")
+
+    # tune AT the target distribution: exact checkerboard warm start
+    x0 = u1.random_links(key, base.num_chains, base.shape)
+    x0 = jax.jit(lambda x, k: thermalize(
+        k, x, base.shape, args.beta, 1500))(x0, jax.random.fold_in(key, 7))
+    _trace("thermalized (1500 Metropolis sweeps)")
+
+    t0 = time.perf_counter()
+    hmc_opt = tune_hmc(
+        base, x0, args.beta, jax.random.fold_in(key, 1),
+        k_grid=tuple(int(k) for k in args.hmc_k_grid.split(",")))
+    t_hmc = time.perf_counter() - t0
+    _trace(f"HMC optimum: K={hmc_opt.num_steps} eps={hmc_opt.eps} "
+           f"acc={hmc_opt.accept:.3f} ({t_hmc:.0f}s)")
+    for c in hmc_opt.cells:
+        _trace(f"  {c}")
+
+    t0 = time.perf_counter()
+    l2_opt = tune_l2hmc(
+        base, jax.random.fold_in(key, 2), hmc_opt,
+        k_grid=tuple(int(k) for k in args.l2hmc_k_grid.split(",")),
+        probe_train_steps=args.probe_train_steps)
+    t_l2 = time.perf_counter() - t0
+    _trace(f"L2HMC choice: K={l2_opt.num_steps} eps={l2_opt.eps} "
+           f"probe-acc={l2_opt.accept:.3f} ({t_l2:.0f}s)")
+    for c in l2_opt.cells:
+        _trace(f"  {c}")
+
+    result = {
+        "benchmark": "autotune_gauge",
+        "size": args.size, "beta": args.beta,
+        "hmc_opt": dataclasses.asdict(hmc_opt),
+        "l2hmc_opt": dataclasses.asdict(l2_opt),
+        "tune_wall_s": round(t_hmc + t_l2, 1),
+    }
+
+    if args.train_steps:
+        # full training at the chosen cell, then the shared-harness
+        # head-to-head vs the auto-tuned HMC optimum
+        from benchmarks.trained_vs_hmc import run_eval, trace_stats
+
+        cfg = dataclasses.replace(
+            base, num_steps=l2_opt.num_steps, eps_init=l2_opt.eps,
+            eps_trainable=False, train_steps=args.train_steps)
+        state = init_train_state(cfg, jax.random.fold_in(key, 3))
+        chunk = make_train_chunk(cfg, 250)
+        kk = jax.random.fold_in(key, 4)
+        t0 = time.perf_counter()
+        for _ in range(args.train_steps // 250):
+            kk, sub = jax.random.split(kk)
+            state, m = chunk(state, sub)
+        _trace(f"full training {args.train_steps} steps in "
+               f"{time.perf_counter()-t0:.0f}s; "
+               f"end acc={float(np.asarray(m['accept_prob'])[-1]):.3f}")
+
+        ecfg = dataclasses.replace(cfg, num_chains=args.eval_chains)
+        import jax.numpy as jnp
+        reps = int(np.ceil(args.eval_chains / cfg.num_chains))
+        x_e = jnp.tile(state.x, (reps, 1))[:args.eval_chains]
+
+        kk, k1, k2 = jax.random.split(kk, 3)
+        pl_t, q_t, acc_t, wall_t, x_end = run_eval(
+            ecfg, state.params, x_e, args.beta, k1, args.eval_steps)
+        hcfg = dataclasses.replace(
+            ecfg, hmc=True, network_arch="zero", eps_init=hmc_opt.eps,
+            eps_trainable=False, num_steps=hmc_opt.num_steps,
+            merge_v_halves=False)
+        hstate = init_train_state(hcfg, k2)
+        pl_h, q_h, acc_h, wall_h, _ = run_eval(
+            hcfg, hstate.params, x_end, args.beta, k2, args.eval_steps)
+
+        st_t = trace_stats(pl_t, wall_t, total_chains=args.eval_chains)
+        st_h = trace_stats(pl_h, wall_h, total_chains=args.eval_chains)
+        result.update(
+            trained={"accept": round(acc_t, 4), "plaq": st_t,
+                     "plaq_mean": round(float(pl_t[1000:].mean()), 6)},
+            hmc={"accept": round(acc_h, 4), "plaq": st_h,
+                 "plaq_mean": round(float(pl_h[1000:].mean()), 6)},
+            plaq_exact=round(float(u1.u1_plaq_exact(args.beta)), 6),
+            plaq_ess_per_s_ratio=round(
+                st_t["eff_samples_per_s"]
+                / max(st_h["eff_samples_per_s"], 1e-9), 3),
+        )
+        _trace(f"cold-start result: trained {st_t['eff_samples_per_s']:,.0f} "
+               f"vs HMC {st_h['eff_samples_per_s']:,.0f} eff/s -> "
+               f"{result['plaq_ess_per_s_ratio']}x")
+
+    out = json.dumps(result)
+    print(out)
+    if args.out:
+        Path(args.out).write_text(out)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -105,12 +105,21 @@ def run_eval_fused(kind, cfg, params, x, beta, key, num_steps, eps=None,
         chunk_size = chunk_size or 600
         dyn_cfg, _, _ = build_dynamics(cfg)
         eps_v = float(get_eps(params, dyn_cfg))
-        run = jax.jit(lambda l, k: l2hmc_chain_pallas(
-            l, params, k, eps_v, beta, cfg.num_steps, chunk_size))
+        base = lambda l, k: l2hmc_chain_pallas(          # noqa: E731
+            l, params, k, eps_v, beta, cfg.num_steps, chunk_size)
     else:
         chunk_size = chunk_size or 1500
-        run = jax.jit(lambda l, k: hmc_chain_pallas(
-            l, k, eps, beta, hmc_k, chunk_size))
+        base = lambda l, k: hmc_chain_pallas(            # noqa: E731
+            l, k, eps, beta, hmc_k, chunk_size)
+
+    # same harness convention as run_eval: slice the observable traces
+    # on-device to the 64 chains the estimators read BEFORE the host
+    # transfer — full-batch trace readback over the tunnel is harness
+    # overhead, not sampling cost, and is stripped for both samplers
+    @jax.jit
+    def run(l, k):
+        l, pl, ch, pr = base(l, k)
+        return l, pl[:, :64], ch[:, :64], pr[:, :64]
 
     links, pl, ch, pr = run(links, key)     # compile + warm/therm chunk
     float(np.asarray(pr).sum())
@@ -363,8 +372,8 @@ def main(argv=None):
             return {
                 "sampler": label,
                 "accept_prob": round(acc, 4),
-                "plaq": trace_stats(plq, wall),
-                "charge": trace_stats(q, wall),
+                "plaq": trace_stats(plq, wall, total_chains=eval_chains),
+                "charge": trace_stats(q, wall, total_chains=eval_chains),
                 "tunneling_rate_per_step": round(
                     float(np.abs(np.diff(q, axis=0)).mean()), 5),
                 "plaq_mean": round(float(plq[args.eval_steps // 4:].mean()), 6),

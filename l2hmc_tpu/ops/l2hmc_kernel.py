@@ -51,19 +51,30 @@ from l2hmc_tpu.ops.leapfrog import (
 
 _TWO_PI = 2.0 * np.pi
 
-# ordered weight-array names (the kernel receives them positionally)
+# ordered weight-array names (the kernel receives them positionally).
+# Input blocks and heads are MERGED across feature slots / directions into
+# single matmul operands (xin (6d, h), xhead (h, 6d)): one deep-K MXU
+# matmul replaces six shallow accumulating ones and one wide head matmul
+# replaces two — the same dataflow as the production net's single ``in_w``
+# matmul (networks/nets.py make_mlp_net).
 WEIGHT_NAMES = (
-    # XNet: input blocks (per direction), trunk, heads, coeffs
-    "xv0", "xv1", "xc0", "xc1", "xs0", "xs1", "xt", "xb",
-    "xh_w", "xh_b", "xhead0", "xhead1", "xheadb0", "xheadb1",
+    # XNet: merged input block, time rows, trunk, merged heads, coeffs
+    "xin", "xt", "xb",
+    "xh_w", "xh_b", "xhead", "xheadb0", "xheadb1",
     "xcs0", "xcs1", "xct0", "xct1",
     # VNet
-    "vc0", "vc1", "vs0", "vs1", "vg0", "vg1", "vt", "vb",
-    "vh_w", "vh_b", "vhead0", "vhead1", "vheadb0", "vheadb1",
+    "vin", "vt", "vb",
+    "vh_w", "vh_b", "vhead", "vheadb0", "vheadb1",
     "vcs0", "vcs1", "vct0", "vct1",
     # per-step hold masks, per direction (K, d)
     "mask0", "mask1",
 )
+
+# weight arrays that feed the MXU: stored bf16 under precision='bf16'
+# (VMEM-resident for the whole chain, so the cast happens once per call,
+# not per step — the round-2 finding that bf16 loses in the XLA path came
+# from per-step weight/activation casts, which this kernel does not pay)
+_MATMUL_WEIGHTS = ("xin", "xh_w", "xhead", "vin", "vh_w", "vhead")
 
 
 def _deinterleave_rows(w, x_dim):
@@ -80,13 +91,26 @@ def _deinterleave_cols(w, x_dim):
     return w3[..., 0].reshape(h, -1), w3[..., 1].reshape(h, -1)
 
 
-def pack_weights(params, x_dim: int) -> Tuple[jax.Array, ...]:
+def pack_weights(params, x_dim: int,
+                 precision: str = "f32") -> Tuple[jax.Array, ...]:
     """De-interleave trained MLP ``DynamicsParams`` into kernel blocks.
 
     XNet ``in_w`` rows are ``[v (x_dim) | cos-feats (x_dim) |
     sin-feats (x_dim) | t (2)]`` (``make_mlp_net``: v slot, then the
     doubled periodic position slot, then time); VNet rows are
     ``[cos (x_dim) | sin (x_dim) | grad (x_dim) | t (2)]``.
+
+    The six per-direction input blocks stack into one ``(6d, h)`` operand
+    (row order must match the feature concat in the transition math) and
+    the two head blocks into one ``(h, 6d)`` operand ``[dir0 | dir1]``.
+
+    ``precision='bf16'`` stores the matmul operands (:data:`_MATMUL_WEIGHTS`)
+    as bfloat16; activations are cast at the dot and accumulation stays
+    f32 (``preferred_element_type``).  The MH accept remains exact either
+    way — the S/T/Q values used by the forward map and by the log-Jacobian
+    are the same array, so detailed balance holds for the bf16-rounded
+    kernel exactly as for the f32 one (it is a different, equally valid,
+    deterministic map).
     """
     d2 = x_dim
     xn, vn = params.xnet, params.vnet
@@ -118,23 +142,32 @@ def pack_weights(params, x_dim: int) -> Tuple[jax.Array, ...]:
     m = params.masks.reshape(params.masks.shape[0], d2 // 2, 2)
 
     vals = dict(
-        xv0=xv0, xv1=xv1, xc0=xc0, xc1=xc1, xs0=xs0, xs1=xs1, xt=xt,
-        xb=xn["in_b"][None, :],
+        # row order == xnet feature concat: [w0 | w1 | m0 cos y0 | m1 cos y1
+        # | m0 sin y0 | m1 sin y1]
+        xin=jnp.concatenate([xv0, xv1, xc0, xc1, xs0, xs1], axis=0),
+        xt=xt, xb=xn["in_b"][None, :],
         xh_w=xn["h_layer"]["w"], xh_b=xn["h_layer"]["b"][None, :],
-        xhead0=xhead0, xhead1=xhead1,
+        xhead=jnp.concatenate([xhead0, xhead1], axis=1),
         xheadb0=xhb[..., 0].reshape(1, -1), xheadb1=xhb[..., 1].reshape(1, -1),
         xcs0=xcs[:, 0][None, :], xcs1=xcs[:, 1][None, :],
         xct0=xct[:, 0][None, :], xct1=xct[:, 1][None, :],
-        vc0=vc0, vc1=vc1, vs0=vs0, vs1=vs1, vg0=vg0, vg1=vg1, vt=vt,
-        vb=vn["in_b"][None, :],
+        # row order == vnet feature concat: [cos y0 | cos y1 | sin y0 |
+        # sin y1 | g0 | g1]
+        vin=jnp.concatenate([vc0, vc1, vs0, vs1, vg0, vg1], axis=0),
+        vt=vt, vb=vn["in_b"][None, :],
         vh_w=vn["h_layer"]["w"], vh_b=vn["h_layer"]["b"][None, :],
-        vhead0=vhead0, vhead1=vhead1,
+        vhead=jnp.concatenate([vhead0, vhead1], axis=1),
         vheadb0=vhb[..., 0].reshape(1, -1), vheadb1=vhb[..., 1].reshape(1, -1),
         vcs0=vcs[:, 0][None, :], vcs1=vcs[:, 1][None, :],
         vct0=vct[:, 0][None, :], vct1=vct[:, 1][None, :],
         mask0=m[..., 0], mask1=m[..., 1],
     )
-    return tuple(jnp.asarray(vals[n], jnp.float32) for n in WEIGHT_NAMES)
+    if precision not in ("f32", "bf16"):
+        raise ValueError(f"precision must be 'f32' or 'bf16': {precision}")
+    mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    return tuple(
+        jnp.asarray(vals[n], mm_dtype if n in _MATMUL_WEIGHTS else jnp.float32)
+        for n in WEIGHT_NAMES)
 
 
 # ---------------------------------------------------------------------------
@@ -143,16 +176,23 @@ def pack_weights(params, x_dim: int) -> Tuple[jax.Array, ...]:
 
 
 def _mm(a, w):
+    # bf16 weights (precision='bf16' packing): cast the activation, keep
+    # f32 accumulation on the MXU
+    if w.dtype == jnp.bfloat16:
+        a = a.astype(jnp.bfloat16)
     return jax.lax.dot_general(
         a, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
 
 def _heads(hh, W, net, bounded_q):
     """Trunk output -> per-direction (S, T, Q) with the tanh/exp head
-    combines (``make_mlp_net.apply``)."""
-    h0 = _mm(hh, getattr(W, net + "head0")) + getattr(W, net + "headb0")
-    h1 = _mm(hh, getattr(W, net + "head1")) + getattr(W, net + "headb1")
-    d = h0.shape[1] // 3
+    combines (``make_mlp_net.apply``); one merged ``(h, 6d)`` matmul for
+    both directions."""
+    hm = _mm(hh, getattr(W, net + "head"))
+    d3 = hm.shape[1] // 2
+    h0 = hm[:, :d3] + getattr(W, net + "headb0")
+    h1 = hm[:, d3:] + getattr(W, net + "headb1")
+    d = d3 // 3
     out = []
     for hi, sfx in ((h0, "0"), (h1, "1")):
         s_raw, t_raw, q_raw = hi[:, :d], hi[:, d:2 * d], hi[:, 2 * d:]
@@ -260,21 +300,18 @@ def _l2hmc_transition_math(
     pot1, sinp1, chg1 = pot0, sinp, chg0
 
     def vnet(yy0, yy1, gg0, gg1, tau):
-        pre = (
-            _mm(jnp.cos(yy0), W.vc0) + _mm(jnp.cos(yy1), W.vc1)
-            + _mm(jnp.sin(yy0), W.vs0) + _mm(jnp.sin(yy1), W.vs1)
-            + _mm(gg0, W.vg0) + _mm(gg1, W.vg1)
-            + _tau_term(tau, W.vt) + W.vb
-        )
+        # one (b, 6d) @ (6d, h) deep-K matmul (order matches pack_weights)
+        feats = jnp.concatenate(
+            [jnp.cos(yy0), jnp.cos(yy1), jnp.sin(yy0), jnp.sin(yy1),
+             gg0, gg1], axis=1)
+        pre = _mm(feats, W.vin) + _tau_term(tau, W.vt) + W.vb
         return _heads(_trunk(pre, W, "v"), W, "v", bounded_q)
 
     def xnet(ww0, ww1, yy0, yy1, m0, m1, tau):
-        pre = (
-            _mm(ww0, W.xv0) + _mm(ww1, W.xv1)
-            + _mm(m0 * jnp.cos(yy0), W.xc0) + _mm(m1 * jnp.cos(yy1), W.xc1)
-            + _mm(m0 * jnp.sin(yy0), W.xs0) + _mm(m1 * jnp.sin(yy1), W.xs1)
-            + _tau_term(tau, W.xt) + W.xb
-        )
+        feats = jnp.concatenate(
+            [ww0, ww1, m0 * jnp.cos(yy0), m1 * jnp.cos(yy1),
+             m0 * jnp.sin(yy0), m1 * jnp.sin(yy1)], axis=1)
+        pre = _mm(feats, W.xin) + _tau_term(tau, W.xt) + W.xb
         return _heads(_trunk(pre, W, "x"), W, "x", bounded_q)
 
     def kick(y0_, y1_, w0_, w1_, g0_, g1_, tau, factor, ld):
@@ -366,7 +403,7 @@ def _l2hmc_transition_math(
 
 
 def l2hmc_chain_reference(links, params, v0s, v1s, ds, us, eps, beta,
-                          num_leapfrog, bounded_q=True):
+                          num_leapfrog, bounded_q=True, precision="f32"):
     """Run ``N`` trained transitions with injected randomness.
 
     ``links (B, Lt, Lx, 2)``; ``v0s/v1s (N, B, Lt*Lx)``; ``ds/us (N, B)``.
@@ -376,7 +413,7 @@ def l2hmc_chain_reference(links, params, v0s, v1s, ds, us, eps, beta,
     b, lt, lx, _ = links.shape
     d = lt * lx
     W = SimpleNamespace(**dict(zip(WEIGHT_NAMES,
-                                   pack_weights(params, 2 * d))))
+                                   pack_weights(params, 2 * d, precision))))
     s_col = (jax.lax.broadcasted_iota(jnp.int32, (b, d), 1) % lx)
     roll = functools.partial(jnp.roll, axis=1)
     x0 = links[..., 0].reshape(b, d)
@@ -532,6 +569,7 @@ def l2hmc_chain_pallas(
     tile_b: int = 0,
     interpret: bool = False,
     rand_arrays=None,
+    precision: str = "f32",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Run ``num_transitions`` fused TRAINED L2HMC transitions on-chip.
 
@@ -542,23 +580,29 @@ def l2hmc_chain_pallas(
 
     ``rand_arrays=(v0s, v1s, ds, us)`` switches to injected randomness for
     exactness tests against :func:`l2hmc_chain_reference`.
+
+    ``precision='bf16'`` stores the conditioner matmul weights bf16 in
+    VMEM and runs the MXU in bf16 with f32 accumulation (see
+    :func:`pack_weights` — the kernel stays an exact MH sampler).
     """
     b, lt, lx, _ = links.shape
     d = lt * lx
-    weights = pack_weights(params, 2 * d)
+    weights = pack_weights(params, 2 * d, precision)
     h = weights[0].shape[1]
+
+    def _wbytes():
+        return sum(int(np.prod(w.shape)) * w.dtype.itemsize for w in weights)
 
     if tile_b <= 0:
         # state+temporaries ~26 (tile_b, d) rows + trace blocks; weights are
         # tile-independent.  Budget ~10 MB for the tiled part.
-        w_bytes = sum(int(np.prod(w.shape)) * 4 for w in weights)
         per_row = 4 * (26 * d + 6 * h + 6 * num_transitions)
-        tile_b = max(8, min(b, ((10 << 20) - w_bytes) // per_row))
+        tile_b = max(8, min(b, ((10 << 20) - _wbytes()) // per_row))
         if tile_b < b:
             tile_b = max(128, (tile_b // 128) * 128)
     while b % tile_b != 0 and tile_b > 1:
         tile_b -= 1
-    w_bytes = sum(int(np.prod(w.shape)) * 4 for w in weights)
+    w_bytes = _wbytes()
     est = w_bytes + tile_b * 4 * (26 * d + 6 * h + 6 * num_transitions)
     if est > (14 << 20):
         raise ValueError(

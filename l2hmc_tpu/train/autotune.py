@@ -1,0 +1,207 @@
+"""Joint (K, eps) auto-tuning for HMC and the trained L2HMC kernel.
+
+The reference's only integrator adaptation is the trainable step size
+(``/root/reference/l2hmc/dynamics/gauge_dynamics.py:89-96``); trajectory
+length K is always hand-picked, and round-2's champion settings (K=3,
+eps=0.125 at 16x16) came out of a manual grid.  This module replaces the
+hand sweep with a probe-based search so champion configs reproduce from a
+cold start and transfer across volumes:
+
+HMC (:func:`tune_hmc`):
+  for each K in the grid, dual-averaging drives eps to a target acceptance
+  (``dynamics/nuts.py dual_averaging_update`` — the NUTS-style controller),
+  then a short timed probe chain scores **cost-normalized decorrelation**:
+  a lag-1 ESS proxy of the average-plaquette trace times measured steps/s.
+  The argmax over K reproduces the measured joint optimum of the full
+  3000-sample grid sweep (``benchmarks/hmc_ess_sweep.py``: K=5, eps=0.08
+  at 16x16 beta=4) in a fraction of its cost.
+
+Trained kernel (:func:`tune_l2hmc`):
+  the trained maps' demonstrated skill is holding acceptance at COARSER
+  steps than HMC can afford (RESULTS.md trajectory economics), so the
+  search is anchored at HMC's optimal trajectory length lambda* = K*eps*:
+  for each candidate K (descending from HMC's K*), eps_K = lambda*/K is
+  frozen (``eps_fixed`` — the acceptance-greedy ESJD objective otherwise
+  retreats to short trajectories), a short probe training runs, and the
+  same timed lag-1 score picks K.  Smaller K wins only if the conditioners
+  actually rescue the coarse-step acceptance — exactly the trade the
+  champion config embodies.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class TuneResult:
+    num_steps: int                # chosen K
+    eps: float                    # chosen step size
+    score: float                  # lag-1 eff-samples/s proxy at the chosen cell
+    accept: float                 # measured acceptance at the chosen cell
+    cells: Tuple[Dict, ...]       # every probed cell, for the record
+
+
+def _lag1_ess(trace: np.ndarray) -> float:
+    """Lag-1 autocorrelation ESS proxy, averaged over chains.
+
+    For the near-AR(1) plaquette trace, ESS_ratio ~ (1-rho1)/(1+rho1); a
+    few hundred steps give a low-variance estimate where the Sokal-window
+    estimator would still be noise.  Used for RANKING (K, eps) cells, not
+    for reporting absolute ESS.
+    """
+    x = trace - trace.mean(axis=0, keepdims=True)
+    num = (x[1:] * x[:-1]).sum(axis=0)
+    den = (x * x).sum(axis=0) + 1e-30
+    rho1 = np.clip(num / den, -0.999, 0.999)
+    return float(np.mean((1.0 - rho1) / (1.0 + rho1)))
+
+
+def _hmc_cfg(base, k: int, eps: float):
+    return dataclasses.replace(
+        base, hmc=True, network_arch="zero", num_steps=k, eps_init=eps,
+        eps_trainable=False, merge_v_halves=False)
+
+
+def _timed_probe(cfg, params, x, beta, key, steps: int, chunk: int = 200):
+    """Run ``steps`` eval transitions; return (plaq trace, accept, wall)."""
+    from l2hmc_tpu.train.gauge import make_eval_chunk
+
+    base = make_eval_chunk(cfg, chunk)
+
+    @jax.jit
+    def run(params, x, beta, k):
+        x, m = base(params, x, beta, k)
+        return x, m["plaqs"][:, :64], jnp.mean(m["accept_prob"])
+
+    x, pl, acc = run(params, x, beta, key)       # compile + warm
+    float(acc)
+    traces, accs = [], []
+    t0 = time.perf_counter()
+    for i in range(max(steps // chunk, 1)):
+        key, sub = jax.random.split(key)
+        x, pl, acc = run(params, x, beta, sub)
+        traces.append(np.asarray(pl))
+        accs.append(float(acc))
+    wall = time.perf_counter() - t0
+    return np.concatenate(traces), float(np.mean(accs)), wall, x
+
+
+def _da_tune_eps(cfg, x, beta, key, da_steps: int, target: float) -> float:
+    """Dual-averaging eps search at fixed K (one jitted scan)."""
+    from l2hmc_tpu.dynamics.nuts import (
+        dual_averaging_init, dual_averaging_update,
+    )
+    from l2hmc_tpu.lattice import u1
+    from l2hmc_tpu.train.gauge import build_dynamics, init_train_state
+
+    state = init_train_state(cfg, key)
+    _, dyn, _ = build_dynamics(cfg)
+
+    @jax.jit
+    def run(params, x, key):
+        def body(carry, k):
+            x, da = carry
+            p = params._replace(raw_eps=jnp.exp(da.log_eps))
+            out = dyn["transition"](p, x, beta, k)
+            da = dual_averaging_update(
+                da, jnp.mean(out.accept_prob), target=target)
+            return (u1.wrap(out.x_out), da), None
+
+        (x, da), _ = jax.lax.scan(
+            body, (x, dual_averaging_init(float(cfg.eps_init))),
+            jax.random.split(key, da_steps))
+        return jnp.exp(da.log_eps_avg)
+
+    return float(run(state.params, x, key))
+
+
+def tune_hmc(
+    base_cfg,
+    x,
+    beta: float,
+    key: jax.Array,
+    k_grid: Sequence[int] = (3, 4, 5, 6, 8),
+    da_steps: int = 300,
+    probe_steps: int = 600,
+    target_accept: float = 0.8,
+) -> TuneResult:
+    """Joint (K, eps) search for plain HMC.
+
+    ``base_cfg``: a ``GaugeConfig`` fixing lattice/chains; ``x``: a
+    thermalized chain state ``(chains, x_dim)`` (tune AT the target
+    distribution — a cold start would tune the transient).
+    """
+    from l2hmc_tpu.train.gauge import init_train_state
+
+    cells = []
+    best = None
+    for k in k_grid:
+        kk = jax.random.fold_in(key, k)
+        cfg_k = _hmc_cfg(base_cfg, k, base_cfg.eps_init)
+        eps_k = _da_tune_eps(cfg_k, x, beta, kk, da_steps, target_accept)
+        cfg_k = _hmc_cfg(base_cfg, k, eps_k)
+        params = init_train_state(cfg_k, kk).params
+        trace, acc, wall, x = _timed_probe(
+            cfg_k, params, x, beta, jax.random.fold_in(kk, 1), probe_steps)
+        score = _lag1_ess(trace) * trace.shape[0] * base_cfg.num_chains / wall
+        cell = {"K": k, "eps": round(eps_k, 5), "accept": round(acc, 4),
+                "score": round(score, 1)}
+        cells.append(cell)
+        if best is None or score > best[0]:
+            best = (score, k, eps_k, acc)
+    return TuneResult(num_steps=best[1], eps=round(best[2], 5),
+                      score=best[0], accept=best[3], cells=tuple(cells))
+
+
+def tune_l2hmc(
+    base_cfg,
+    key: jax.Array,
+    hmc_opt: TuneResult,
+    k_grid: Sequence[int] = (2, 3, 4, 5),
+    probe_train_steps: int = 2000,
+    probe_steps: int = 600,
+) -> TuneResult:
+    """Choose the trained kernel's (K, eps) at HMC's optimal trajectory
+    length ``lambda* = K* x eps*``.
+
+    For each K the probe trains ``probe_train_steps`` at frozen
+    ``eps = lambda*/K`` (short beta anneal of the base config), then runs
+    the timed lag-1 probe.  Returns the winning cell; callers train the
+    full-length kernel at that setting.
+    """
+    from l2hmc_tpu.train.gauge import init_train_state, make_train_chunk
+
+    lam = hmc_opt.num_steps * hmc_opt.eps
+    cells = []
+    best = None
+    for k in k_grid:
+        eps_k = lam / k
+        kk = jax.random.fold_in(key, 100 + k)
+        cfg_k = dataclasses.replace(
+            base_cfg, num_steps=k, eps_init=eps_k, eps_trainable=False,
+            train_steps=probe_train_steps)
+        state = init_train_state(cfg_k, kk)
+        chunk = make_train_chunk(cfg_k, 250)
+        for _ in range(probe_train_steps // 250):
+            kk, sub = jax.random.split(kk)
+            state, m = chunk(state, sub)
+        acc_train = float(np.asarray(m["accept_prob"])[-1])
+        trace, acc, wall, _ = _timed_probe(
+            cfg_k, state.params, state.x, base_cfg.beta_final,
+            jax.random.fold_in(kk, 1), probe_steps)
+        score = _lag1_ess(trace) * trace.shape[0] * base_cfg.num_chains / wall
+        cell = {"K": k, "eps": round(eps_k, 5), "accept": round(acc, 4),
+                "accept_train_end": round(acc_train, 4),
+                "score": round(score, 1)}
+        cells.append(cell)
+        if best is None or score > best[0]:
+            best = (score, k, eps_k, acc)
+    return TuneResult(num_steps=best[1], eps=round(best[2], 5),
+                      score=best[0], accept=best[3], cells=tuple(cells))

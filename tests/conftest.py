@@ -28,3 +28,49 @@ import pytest  # noqa: E402
 @pytest.fixture
 def key():
     return jax.random.PRNGKey(42)
+
+
+# ---------------------------------------------------------------------------
+# Test tiers.  The full suite takes ~20 min (long-chain detailed-balance,
+# training, and SU(N) trajectory tests dominate); the default tier keeps the
+# edit-test loop under ~5 min.  Membership below is the measured >=8s set
+# (pytest --durations); run EVERYTHING with `pytest -m ""`.
+# ---------------------------------------------------------------------------
+
+SLOW_TESTS = {
+    "test_4d_su2_hmc_strong_coupling", "test_4d_su3_improved_hmc_runs",
+    "test_checkpoint_roundtrip", "test_config5_script_end_to_end",
+    "test_eps_dual_averaging_warmup", "test_eps_fixed_training_freezes_eps",
+    "test_forward_kl_training_raises_likelihood",
+    "test_full_transition_domain_sharded_matches_replicated",
+    "test_gauge_improved_action_trains", "test_gauge_invariance_4d",
+    "test_gauge_train_chunk_runs_and_improves", "test_gmm_arrangements",
+    "test_hybrid_chain_stationary_on_oracle", "test_identity_at_init",
+    "test_independence_mh_uniform_target_accepts_everything",
+    "test_inverse_roundtrip_and_density",
+    "test_kernel_hmc_degeneration_matches_plain", "test_kernel_matches_twin",
+    "test_logdet_matches_autodiff_jacobian_depth2",
+    "test_logq_of_gradient_matches_finite_differences",
+    "test_loss_z_term_parity_modes", "test_lrn_variant",
+    "test_pair_group_ops_match_complex", "test_pair_hmc_shards_over_chain_axis",
+    "test_pair_hmc_trajectory_matches_complex",
+    "test_pair_representation_matches_complex", "test_pair_training_step_runs",
+    "test_plaq_metric_loss", "test_posterior_sampler_conditions_on_data",
+    "test_random_lf_composition_trains", "test_reverse_kl_training_improves_ess",
+    "test_reversibility_and_logdet_antisymmetry",
+    "test_reweighted_plaquette_on_oracle", "test_scg_trained_sampler_vs_hmc_ess",
+    "test_scg_training_beats_initial_loss", "test_sharded_scan_chunk",
+    "test_sharded_training_matches_single_device", "test_su3_energy_conservation",
+    "test_su3_hmc_matches_exact_plaquette", "test_temperature_annealing_path",
+    "test_topological_susceptibility_exact_oracle",
+    "test_training_beats_hmc_mixing", "test_twin_matches_make_dynamics",
+    "test_u1_kernel_detailed_balance_vs_metropolis",
+    "test_u1_logdet_matches_autodiff", "test_vae_cli_smoke",
+    "test_vae_training_improves_elbo",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.name.split("[")[0] in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)

@@ -135,6 +135,40 @@ def test_kernel_matches_twin(key):
     np.testing.assert_allclose(prob_k, prob_r, atol=1e-5)
 
 
+def test_kernel_matches_twin_bf16(key):
+    """precision='bf16' (bf16 MXU weights, f32 accumulation): kernel ==
+    twin under the same precision, and the map stays close to f32 (the
+    bf16 kernel is a different-but-valid exact MH sampler)."""
+    lt, lx, K, b, n = 4, 4, 2, 8, 2
+    cfg, params, dyn = _build(key, lt, lx, K, hidden=32)
+    shape = u1.LatticeShape(lt, lx)
+    links = u1.to_links(
+        u1.random_links(jax.random.fold_in(key, 2), b, shape), shape)
+
+    d = lt * lx
+    k1, k2, k3, k4 = jax.random.split(jax.random.fold_in(key, 3), 4)
+    v0s = jax.random.normal(k1, (n, b, d))
+    v1s = jax.random.normal(k2, (n, b, d))
+    ds = jnp.where(jax.random.uniform(k3, (n, b)) > 0.5, 1.0, -1.0)
+    us = jax.random.uniform(k4, (n, b))
+
+    eps = float(get_eps(params, cfg))
+    out_k, _, _, prob_k = l2hmc_chain_pallas(
+        links, params, key, eps=eps, beta=3.0, num_leapfrog=K,
+        num_transitions=n, tile_b=4, interpret=True,
+        rand_arrays=(v0s, v1s, ds, us), precision="bf16")
+    out_r, _, _, prob_r = l2hmc_chain_reference(
+        links, params, v0s, v1s, ds, us, eps=eps, beta=3.0, num_leapfrog=K,
+        precision="bf16")
+    np.testing.assert_allclose(out_k, out_r, atol=1e-5)
+    np.testing.assert_allclose(prob_k, prob_r, atol=1e-5)
+    # near-init conditioners: the bf16 rounding of the S/T/Q maps moves
+    # accept probs only slightly off the f32 kernel
+    _, _, _, prob_f32 = l2hmc_chain_reference(
+        links, params, v0s, v1s, ds, us, eps=eps, beta=3.0, num_leapfrog=K)
+    np.testing.assert_allclose(prob_r, prob_f32, atol=0.05)
+
+
 def test_kernel_hmc_degeneration_matches_plain(key):
     """With zero nets the trained kernel must equal plain leapfrog HMC:
     run the twin with zeroed conditioners against ops/leapfrog's twin.
