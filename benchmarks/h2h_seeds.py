@@ -50,6 +50,8 @@ def interleaved_eval(cfg_t, params_t, cfg_h, params_h, x0_t, x0_h, beta,
     """
     from l2hmc_tpu.train.gauge import make_eval_chunk
 
+    chunk_size = min(chunk_size, num_steps)
+
     def make(cfg):
         base = make_eval_chunk(cfg, chunk_size)
 
@@ -144,10 +146,11 @@ def main(argv=None):
         seed = args.seed0 + s
         key = jax.random.PRNGKey(seed)
         state = init_train_state(base, key)
-        chunk = make_train_chunk(base, 250)
+        csz = min(250, args.train_steps)
+        chunk = make_train_chunk(base, csz)
         kk = key
         t0 = time.perf_counter()
-        for _ in range(args.train_steps // 250):
+        for _ in range(max(args.train_steps // csz, 1)):
             kk, sub = jax.random.split(kk)
             state, m = chunk(state, sub)
         acc_end = float(np.asarray(m["accept_prob"])[-1])
