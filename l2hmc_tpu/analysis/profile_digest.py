@@ -69,6 +69,11 @@ def digest_trace(
         if device_pids:
             if e.get("pid") not in device_pids:
                 continue
+            # drop whole-program/module spans (the 'jit_<fn>' module lane
+            # and the bare step-number lane) so the table shows op-level
+            # entries, like the reference's op view
+            if name.startswith("jit_") or name.isdigit():
+                continue
         elif name.startswith("$"):   # python frame events in CPU traces
             continue
         dur_us = float(e.get("dur", 0.0))

@@ -2,8 +2,8 @@
 
 On-chip validation of the full-size search against the hand-swept champion
 is the r3 campaign's job (RESULTS.md); these tests check the mechanism on
-a small lattice: DA lands eps in a sane band that shrinks with K, the
-probes score every grid cell, and the trained-kernel search anchors at
+a small lattice: DA lands eps in a sane band, every (K, eps-grid) cell is
+probed and scored, and the trained-kernel search anchors its eps grid at
 lambda* = K*eps*.
 """
 
@@ -40,16 +40,22 @@ def test_tune_hmc_small(base_cfg):
     key = jax.random.PRNGKey(0)
     x = u1.random_links(key, base_cfg.num_chains, base_cfg.shape)
     res = tune_hmc(base_cfg, x, beta=2.0, key=key, k_grid=(2, 4),
-                   da_steps=80, probe_steps=200, target_accept=0.75)
+                   da_steps=80, probe_steps=200, target_accept=0.75,
+                   eps_grid=(0.9, 1.1), estimator="lag1")
     assert isinstance(res, TuneResult)
     assert res.num_steps in (2, 4) and res.eps > 0
-    assert len(res.cells) == 2
-    by_k = {c["K"]: c for c in res.cells}
-    # DA drives acceptance toward target at both K
+    assert len(res.cells) == 4          # 2 K x 2 eps multipliers
+    # DA drives acceptance to a sane band; the eps grid brackets it
     for c in res.cells:
-        assert 0.4 < c["accept"] <= 1.0, c
-    # larger K tolerates a similar-or-smaller eps per step at equal target
-    assert by_k[4]["eps"] < 2.5 * by_k[2]["eps"]
+        assert 0.3 < c["accept"] <= 1.0, c
+        assert np.isfinite(c["score"]) and c["score"] >= 0
+    by_k = {}
+    for c in res.cells:
+        by_k.setdefault(c["K"], []).append(c["eps"])
+    # within each K the two eps cells keep the grid ratio
+    for k, eps_list in by_k.items():
+        lo, hi = sorted(eps_list)
+        np.testing.assert_allclose(hi / lo, 1.1 / 0.9, rtol=1e-5)
 
 
 @pytest.mark.slow
@@ -58,11 +64,15 @@ def test_tune_l2hmc_anchors_at_hmc_trajectory(base_cfg):
     hmc_opt = TuneResult(num_steps=4, eps=0.2, score=1.0, accept=0.8,
                          cells=())
     res = tune_l2hmc(base_cfg, key, hmc_opt, k_grid=(2, 4),
-                     probe_train_steps=250, probe_steps=200)
+                     probe_train_steps=250, probe_steps=200,
+                     eps_grid=(1.0, 1.2), estimator="lag1")
     assert res.num_steps in (2, 4)
-    by_k = {c["K"]: c for c in res.cells}
-    # eps anchored at lambda*/K
-    np.testing.assert_allclose(by_k[2]["eps"], 0.4, rtol=1e-6)
-    np.testing.assert_allclose(by_k[4]["eps"], 0.2, rtol=1e-6)
+    assert len(res.cells) == 4
+    by_k = {}
+    for c in res.cells:
+        by_k.setdefault(c["K"], []).append(c["eps"])
+    # eps grids anchored at lambda*/K = 0.8/K
+    np.testing.assert_allclose(sorted(by_k[2]), [0.4, 0.48], rtol=1e-5)
+    np.testing.assert_allclose(sorted(by_k[4]), [0.2, 0.24], rtol=1e-5)
     for c in res.cells:
         assert np.isfinite(c["score"]) and c["score"] >= 0
