@@ -44,6 +44,7 @@ def main(argv=None):
     p.add_argument("--hmc_k_grid", default="3,4,5,6,8")
     p.add_argument("--l2hmc_k_grid", default="2,3,4,5")
     p.add_argument("--probe_train_steps", type=int, default=2000)
+    p.add_argument("--probe_seeds", type=int, default=1)
     p.add_argument("--train_steps", type=int, default=12000,
                    help="full training for the winning cell (0 = tune only)")
     p.add_argument("--eval_steps", type=int, default=6000)
@@ -79,7 +80,8 @@ def main(argv=None):
     t0 = time.perf_counter()
     hmc_opt = tune_hmc(
         base, x0, args.beta, jax.random.fold_in(key, 1),
-        k_grid=tuple(int(k) for k in args.hmc_k_grid.split(",")))
+        k_grid=tuple(int(k) for k in args.hmc_k_grid.split(",")),
+        probe_chains=args.eval_chains)
     t_hmc = time.perf_counter() - t0
     _trace(f"HMC optimum: K={hmc_opt.num_steps} eps={hmc_opt.eps} "
            f"acc={hmc_opt.accept:.3f} ({t_hmc:.0f}s)")
@@ -90,7 +92,8 @@ def main(argv=None):
     l2_opt = tune_l2hmc(
         base, jax.random.fold_in(key, 2), hmc_opt,
         k_grid=tuple(int(k) for k in args.l2hmc_k_grid.split(",")),
-        probe_train_steps=args.probe_train_steps)
+        probe_train_steps=args.probe_train_steps,
+        probe_chains=args.eval_chains, probe_seeds=args.probe_seeds)
     t_l2 = time.perf_counter() - t0
     _trace(f"L2HMC choice: K={l2_opt.num_steps} eps={l2_opt.eps} "
            f"probe-acc={l2_opt.accept:.3f} ({t_l2:.0f}s)")

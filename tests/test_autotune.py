@@ -52,10 +52,11 @@ def test_tune_hmc_small(base_cfg):
     by_k = {}
     for c in res.cells:
         by_k.setdefault(c["K"], []).append(c["eps"])
-    # within each K the two eps cells keep the grid ratio
+    # within each K the two eps cells keep the grid ratio (cells round
+    # eps to 5 decimals)
     for k, eps_list in by_k.items():
         lo, hi = sorted(eps_list)
-        np.testing.assert_allclose(hi / lo, 1.1 / 0.9, rtol=1e-5)
+        np.testing.assert_allclose(hi / lo, 1.1 / 0.9, rtol=1e-3)
 
 
 @pytest.mark.slow
