@@ -120,6 +120,8 @@ def main(argv=None):
     p.add_argument("--hmc_eps", type=float, default=0.08)
     p.add_argument("--beta", type=float, default=4.0)
     p.add_argument("--metric", default="cos_diff")
+    p.add_argument("--charge_reward", action="store_true")
+    p.add_argument("--charge_weight", type=float, default=1.0)
     p.add_argument("--out", default="")
     args = p.parse_args(argv)
 
@@ -137,7 +139,8 @@ def main(argv=None):
         network_arch="mlp", num_hidden=args.num_hidden,
         merge_v_halves=True, eps_init=args.eps, eps_trainable=False,
         train_steps=args.train_steps, beta_final=args.beta,
-        metric=args.metric,
+        metric=args.metric, charge_reward=args.charge_reward,
+        charge_weight=args.charge_weight,
     )
     _trace(f"devices: {jax.devices()}")
 
@@ -218,7 +221,9 @@ def main(argv=None):
             "train_steps": args.train_steps, "eval_steps": args.eval_steps,
             "eval_chains": args.eval_chains,
             "trained": f"mlp h{args.num_hidden} K={args.num_steps} "
-                       f"eps={args.eps} fixed merge_v",
+                       f"eps={args.eps} fixed merge_v"
+                       + (f" charge_reward w={args.charge_weight}"
+                          if args.charge_reward else ""),
             "hmc": f"K={args.hmc_num_steps} eps={args.hmc_eps}",
         },
         "plaq_exact": round(float(u1.u1_plaq_exact(args.beta)), 6),
