@@ -113,7 +113,8 @@ def mxu_matmul_cost(b: int, k: int, n: int, loops: int = 200) -> float:
                     preferred_element_type=jnp.float32)
                 return c + y[0, 0] * 1e-20
             s = jax.lax.fori_loop(0, loops, body2, jnp.float32(0.0))
-            o_ref[0, 0] = s
+            # Mosaic cannot store a scalar to VMEM: broadcast to the block
+            o_ref[:] = jnp.full(out_shape, s, jnp.float32)
 
     out_shape = (b, n) if n == k else (8, 128)
 
