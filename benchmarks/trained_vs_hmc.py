@@ -180,6 +180,10 @@ def main(argv=None):
                         "zero-init heads + --eps_init at HMC's optimum the "
                         "kernel STARTS exactly at tuned HMC)")
     p.add_argument("--train_steps", type=int, default=5000)
+    p.add_argument("--lr_init", type=float, default=1e-3,
+                   help="large volumes need a smaller lr: the per-step "
+                        "S/T/Q output jump enters the Hamiltonian summed "
+                        "over x_dim links (RESULTS.md 64x64/128x128 recipe)")
     p.add_argument("--metric", default="cos_diff",
                    help="ESJD metric (see train_gauge --metric); plaq_cos "
                         "trains jump distance in the observable space the "
@@ -225,7 +229,7 @@ def main(argv=None):
         charge_weight=args.charge_weight, charge_reward=args.charge_reward,
         merge_v_halves=args.merge_v, eps_init=args.eps_init,
         eps_cap=args.eps_cap, eps_trainable=not args.eps_fixed,
-        metric=args.metric, use_bf16=args.use_bf16,
+        metric=args.metric, use_bf16=args.use_bf16, lr_init=args.lr_init,
     )
     key = jax.random.PRNGKey(args.seed)
     _trace(f"devices: {jax.devices()}")
