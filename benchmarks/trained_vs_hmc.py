@@ -191,6 +191,15 @@ def main(argv=None):
     p.add_argument("--num_chains", type=int, default=128)
     p.add_argument("--eval_chains", type=int, default=0,
                    help="chains for the timed eval (0 = same as training)")
+    p.add_argument("--eval_init", default="train",
+                   choices=["train", "metropolis"],
+                   help="eval start: annealed training chains, or exact "
+                        "checkerboard-Metropolis thermalization (use when "
+                        "the anneal leaves chains sub-equilibrated — at "
+                        ">=32x32 with slow-mixing kernels the timed eval "
+                        "otherwise measures the transient; cf. RESULTS.md "
+                        "64x64 metastability)")
+    p.add_argument("--therm_sweeps", type=int, default=1500)
     # HMC baseline at its own optimum (round-1 joint sweep)
     p.add_argument("--hmc_eps", type=float, default=0.08)
     p.add_argument("--hmc_num_steps", type=int, default=5)
@@ -291,6 +300,14 @@ def main(argv=None):
         reps = int(np.ceil(eval_chains / cfg.num_chains))
         x0 = jnp.tile(state.x, (reps, 1))[:eval_chains]
         cfg = dataclasses.replace(cfg, num_chains=eval_chains)
+    if args.eval_init == "metropolis":
+        from l2hmc_tpu.lattice.metropolis import thermalize
+
+        key, tk = jax.random.split(key)
+        x0 = jax.jit(lambda x, k: thermalize(
+            k, x, cfg.shape, beta, args.therm_sweeps))(x0, tk)
+        _trace(f"eval chains thermalized ({args.therm_sweeps} exact "
+               f"Metropolis sweeps)")
 
     # --- trained kernel, timed on the shared harness ---
     key, k1 = jax.random.split(key)
