@@ -70,9 +70,15 @@ def vpu_pass_cost(op: str, b: int, d: int, loops: int = 400) -> float:
     f = fns[op]
 
     def kernel(x_ref, o_ref):
+        # keep the measured op OFF the serial path: each iteration applies
+        # f to an independent input (x scaled by the loop counter) and the
+        # carry only accumulates — measures throughput, not op latency (a
+        # serial f(f(f(...))) chain measured ~15x slower than the same op
+        # runs inside the real transition kernel)
         def body(i, acc):
-            return f(acc) * 0.999   # keep values bounded, serial dependency
-        o_ref[:] = jax.lax.fori_loop(0, loops, body, x_ref[:])
+            y = f(x_ref[:] * (1.0 + 1e-9 * i.astype(jnp.float32)))
+            return acc * 0.5 + y
+        o_ref[:] = jax.lax.fori_loop(0, loops, body, x_ref[:] * 0.0)
 
     @jax.jit
     def run(x):
@@ -95,28 +101,19 @@ def mxu_matmul_cost(b: int, k: int, n: int, loops: int = 200) -> float:
     from jax.experimental.pallas import tpu as pltpu
 
     def kernel(a_ref, w_ref, o_ref):
+        # independent matmuls per iteration; the carry only accumulates a
+        # decayed sum (same off-the-serial-path principle as the VPU bench)
         def body(i, acc):
+            # i-dependent input defeats loop-invariant hoisting
+            a = a_ref[:] * (1.0 + 1e-9 * i.astype(jnp.float32))
             y = jax.lax.dot_general(
-                acc[:, :k] if n < k else acc,
-                w_ref[:], (((1,), (0,)), ((), ())),
+                a, w_ref[:], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            # renormalize cheaply to keep a serial dependency
-            return y * 0.001 if n == k else y
-        if n == k:
-            o_ref[:] = jax.lax.fori_loop(0, loops, body, a_ref[:])
-        else:
-            # non-square: time independent matmuls with a carried scalar
-            def body2(i, c):
-                y = jax.lax.dot_general(
-                    a_ref[:] * (1.0 + 1e-9 * c), w_ref[:],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                return c + y[0, 0] * 1e-20
-            s = jax.lax.fori_loop(0, loops, body2, jnp.float32(0.0))
-            # Mosaic cannot store a scalar to VMEM: broadcast to the block
-            o_ref[:] = jnp.full(out_shape, s, jnp.float32)
+            return acc * 0.5 + y
+        o_ref[:] = jax.lax.fori_loop(
+            0, loops, body, jnp.zeros((b, n), jnp.float32))
 
-    out_shape = (b, n) if n == k else (8, 128)
+    out_shape = (b, n)
 
     @jax.jit
     def run(a, w):
@@ -146,10 +143,20 @@ def main(argv=None):
     assert jax.devices()[0].platform == "tpu", "run on the chip"
 
     # --- primitive costs (per pass / per matmul) ---
-    costs = {}
+    raw = {}
     for op in ("exp", "sincos", "tanh", "log", "mul_add"):
-        costs[op] = vpu_pass_cost(op, b, d)
-        _trace(f"VPU {op} ({b}x{d}): {costs[op]*1e6:.2f} us/pass")
+        raw[op] = vpu_pass_cost(op, b, d)
+        _trace(f"VPU {op} ({b}x{d}): {raw[op]*1e6:.2f} us/iter (raw)")
+    # each bench iteration = the op + ~2 cheap passes of harness (input
+    # scale + accumulate); the mul_add op itself is one cheap pass, so
+    # one cheap pass ~ raw['mul_add']/3 and the op's net per-pass cost is
+    # raw[op] - raw['mul_add'] + cheap
+    cheap = raw["mul_add"] / 3.0
+    costs = {op: max(raw[op] - raw["mul_add"] + cheap, cheap)
+             for op in ("exp", "sincos", "tanh", "log")}
+    costs["mul_add"] = cheap
+    for op, v in costs.items():
+        _trace(f"VPU {op}: {v*1e6:.3f} us/pass net")
     mm = {
         "in": mxu_matmul_cost(b, 6 * d, h),     # merged input block
         "trunk": mxu_matmul_cost(b, h, h),
