@@ -361,28 +361,42 @@ def main():
         x0 = jax.jit(lambda x, k: _therm(k, x, ccfg.shape, 4.0, 1000))(
             x0, jax.random.fold_in(key, 11))
 
-        def timed_eval(cfg_e, params_e, tag):
+        # INTERLEAVED timed chunks (t/h/t/h...): wall-clock drift on the
+        # tunnel hits both samplers equally — a sequential A-then-B eval
+        # measured 6% session swings in round 2 (the h2h_seeds campaign
+        # protocol, where the 10-seed ratio is 1.078 +- 0.004)
+        def make_chunk(cfg_e):
             base_e = _Gc.make_eval_chunk(cfg_e, 1000)
 
-            # same harness convention as trained_vs_hmc.run_eval: slice the
-            # observable traces on-device to the 64 chains the estimators
-            # read, total-wall timing over all chunks
             @jax.jit
             def chunk_e(params, x, beta, k):
                 x, m = base_e(params, x, beta, k)
                 return x, {n: v[:, :64] for n, v in m.items()}
 
-            xx, m = chunk_e(params_e, x0, 4.0, key)   # compile + warm
+            return chunk_e
+
+        ch_t, ch_h = make_chunk(ccfg), make_chunk(hcfg)
+        xs = {"t": x0, "h": x0}
+        prm = {"t": params, "h": hstate.params}
+        chs = {"t": ch_t, "h": ch_h}
+        for tag in ("t", "h"):   # compile + warm
+            xs[tag], m = chs[tag](prm[tag], xs[tag], 4.0, key)
             float(np.asarray(m["charges"]).sum())
-            pls, qs = [], []
-            kk = jax.random.fold_in(key, 13)
-            t0 = time.perf_counter()
-            for i in range(3):
+        acc = {"t": ([], [], 0.0), "h": ([], [], 0.0)}
+        kk = jax.random.fold_in(key, 13)
+        for i in range(4):
+            for tag in ("t", "h"):
                 kk, sub = jax.random.split(kk)
-                xx, m = chunk_e(params_e, xx, 4.0, sub)
+                pls, qs, wall_e = acc[tag]
+                t0 = time.perf_counter()
+                xs[tag], m = chs[tag](prm[tag], xs[tag], 4.0, sub)
                 pls.append(np.asarray(m["plaqs"]))    # drains the chunk
+                wall_e += time.perf_counter() - t0
                 qs.append(np.asarray(m["charges"]))
-            wall_e = time.perf_counter() - t0
+                acc[tag] = (pls, qs, wall_e)
+
+        def finish(tag, cfg_e, label):
+            pls, qs, wall_e = acc[tag]
             pl_e = np.concatenate(pls)
             q_e = np.concatenate(qs)
             ess_e = float(np.mean(
@@ -390,12 +404,12 @@ def main():
             eff = ess_e * pl_e.shape[0] * cfg_e.num_chains / wall_e
             tun = float(np.abs(np.diff(q_e, axis=0)).mean()) \
                 * pl_e.shape[0] / wall_e
-            _trace(f"{tag}: ESS {ess_e:.4f}, {eff:,.0f} eff samples/s, "
+            _trace(f"{label}: ESS {ess_e:.4f}, {eff:,.0f} eff samples/s, "
                    f"tunneling {tun:.2f}/s/chain-row")
             return eff, ess_e, tun, float(pl_e.mean())
 
-        eff_t, ess_t, tun_t, plaq_t = timed_eval(ccfg, params, "trained")
-        eff_h, ess_h, tun_h, plaq_h = timed_eval(hcfg, hstate.params, "hmc")
+        eff_t, ess_t, tun_t, plaq_t = finish("t", ccfg, "trained")
+        eff_h, ess_h, tun_h, plaq_h = finish("h", hcfg, "hmc")
         trained_headline = {
             "trained_plaq_ess_per_s": round(eff_t, 1),
             "trained_vs_hmc_optimal_ess_per_s": round(eff_t / eff_h, 3),
