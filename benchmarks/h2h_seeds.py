@@ -122,6 +122,14 @@ def main(argv=None):
     p.add_argument("--metric", default="cos_diff")
     p.add_argument("--charge_reward", action="store_true")
     p.add_argument("--charge_weight", type=float, default=1.0)
+    p.add_argument("--eval_init", default="train",
+                   choices=["train", "metropolis"],
+                   help="exact checkerboard warm start for the eval chains "
+                        "(at >=32x32 the tiled annealed chains stay off "
+                        "equilibrium for the whole eval — measured: 8e-4 "
+                        "plaq deficit and ~12% depressed acceptance over "
+                        "8000 steps; the campaign then scores a transient)")
+    p.add_argument("--therm_sweeps", type=int, default=1500)
     p.add_argument("--out", default="")
     args = p.parse_args(argv)
 
@@ -163,6 +171,12 @@ def main(argv=None):
         ecfg = dataclasses.replace(base, num_chains=args.eval_chains)
         reps = int(np.ceil(args.eval_chains / base.num_chains))
         x0 = jnp.tile(state.x, (reps, 1))[:args.eval_chains]
+        if args.eval_init == "metropolis":
+            from l2hmc_tpu.lattice.metropolis import thermalize
+
+            x0 = jax.jit(lambda x, k: thermalize(
+                k, x, base.shape, args.beta, args.therm_sweeps))(
+                    x0, jax.random.fold_in(key, 9))
         hcfg = dataclasses.replace(
             ecfg, hmc=True, network_arch="zero", eps_init=args.hmc_eps,
             eps_trainable=False, num_steps=args.hmc_num_steps,
