@@ -382,21 +382,21 @@ def main():
         for tag in ("t", "h"):   # compile + warm
             xs[tag], m = chs[tag](prm[tag], xs[tag], 4.0, key)
             float(np.asarray(m["charges"]).sum())
-        acc = {"t": ([], [], 0.0), "h": ([], [], 0.0)}
+        accum = {"t": ([], [], 0.0), "h": ([], [], 0.0)}
         kk = jax.random.fold_in(key, 13)
         for i in range(4):
             for tag in ("t", "h"):
                 kk, sub = jax.random.split(kk)
-                pls, qs, wall_e = acc[tag]
+                pls, qs, wall_e = accum[tag]
                 t0 = time.perf_counter()
                 xs[tag], m = chs[tag](prm[tag], xs[tag], 4.0, sub)
                 pls.append(np.asarray(m["plaqs"]))    # drains the chunk
                 wall_e += time.perf_counter() - t0
                 qs.append(np.asarray(m["charges"]))
-                acc[tag] = (pls, qs, wall_e)
+                accum[tag] = (pls, qs, wall_e)
 
         def finish(tag, cfg_e, label):
-            pls, qs, wall_e = acc[tag]
+            pls, qs, wall_e = accum[tag]
             pl_e = np.concatenate(pls)
             q_e = np.concatenate(qs)
             ess_e = float(np.mean(
