@@ -436,27 +436,33 @@ def main():
 
             dyn_cfg_c, _, _ = _Gc.build_dynamics(ccfg)
             eps_c = float(_geps(params, dyn_cfg_c))
-            NTf = 500
+            # best-vs-best: each kernel at its own best chunking — the
+            # trained chain is VMEM-bounded to ~500 transitions/call, the
+            # HMC chain computes a 1500-transition call in ~0.2 s so
+            # shorter chunks leave it tunnel-dispatch-bound (measured:
+            # 500-step HMC chunks read 1.3M eff/s where 1500-step read 3M)
+            NT_T, NT_H = 500, 1500
 
             @jax.jit
             def run_tf(l, k):
                 l, pl, ch, pr = _l2p(l, params, k, eps_c, 4.0,
-                                     ccfg.num_steps, NTf)
+                                     ccfg.num_steps, NT_T)
                 return l, pl[:, :64], ch[:, :64], jnp.sum(pr)
 
             @jax.jit
             def run_hf(l, k):
-                l, pl, ch, pr = _hmcp(l, k, 0.08, 4.0, 5, NTf)
+                l, pl, ch, pr = _hmcp(l, k, 0.08, 4.0, 5, NT_H)
                 return l, pl[:, :64], ch[:, :64], jnp.sum(pr)
 
             links_f = _u1c.to_links(x0, ccfg.shape)
             res_f = {}
-            for tag, run_f in (("trained", run_tf), ("hmc", run_hf)):
+            for tag, run_f, n_ch in (("trained", run_tf, 6),
+                                     ("hmc", run_hf, 2)):
                 lf, pl64, ch64, dg = run_f(links_f, key)  # compile+therm
                 float(dg)
                 pls, wall_f = [], 0.0
                 kk = jax.random.fold_in(key, 17)
-                for i in range(4):
+                for i in range(n_ch):
                     kk, sub = jax.random.split(kk)
                     t0 = time.perf_counter()
                     lf, pl64, ch64, dg = run_f(lf, sub)
