@@ -45,6 +45,8 @@ def main(argv=None):
     p.add_argument("--l2hmc_k_grid", default="2,3,4,5")
     p.add_argument("--probe_train_steps", type=int, default=2000)
     p.add_argument("--probe_seeds", type=int, default=1)
+    p.add_argument("--refine", action="store_true",
+                   help="second +-10%% eps pass at the winning K")
     p.add_argument("--train_steps", type=int, default=12000,
                    help="full training for the winning cell (0 = tune only)")
     p.add_argument("--eval_steps", type=int, default=6000)
@@ -99,6 +101,29 @@ def main(argv=None):
            f"probe-acc={l2_opt.accept:.3f} ({t_l2:.0f}s)")
     for c in l2_opt.cells:
         _trace(f"  {c}")
+
+    if args.refine:
+        # second pass: a +-10% eps grid at the winning K, anchored ON the
+        # winner (the coarse x0.8/1.0/1.2 grid straddles the optimum —
+        # the 16x16 champion's eps=0.125 falls between its K=3 points)
+        from l2hmc_tpu.train.autotune import TuneResult as _TR
+
+        anchor = _TR(num_steps=l2_opt.num_steps, eps=l2_opt.eps,
+                     score=0.0, accept=0.0, cells=())
+        t0 = time.perf_counter()
+        ref_opt = tune_l2hmc(
+            base, jax.random.fold_in(key, 21), anchor,
+            k_grid=(l2_opt.num_steps,), eps_grid=(0.9, 1.1, 1.2),
+            probe_train_steps=args.probe_train_steps,
+            probe_chains=args.eval_chains, probe_seeds=args.probe_seeds)
+        _trace(f"refine pass ({time.perf_counter()-t0:.0f}s):")
+        for c in ref_opt.cells:
+            _trace(f"  {c}")
+        merged = sorted(l2_opt.cells + ref_opt.cells,
+                        key=lambda c: -c["score"])
+        l2_opt = dataclasses.replace(
+            l2_opt, num_steps=merged[0]["K"], eps=merged[0]["eps"],
+            score=merged[0]["score"], cells=tuple(merged))
 
     result = {
         "benchmark": "autotune_gauge",
