@@ -48,6 +48,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "large volume; don't combine with --eps_cap)")
     p.add_argument("--eps_target_accept", type=float, default=0.7,
                    help="acceptance target for --eps_warmup_steps")
+    p.add_argument("--autotune", action="store_true",
+                   help="cold-start joint (K, eps) search before training "
+                        "(train/autotune.py): tunes HMC's optimum at this "
+                        "volume/beta, then probe-trains coarse-K trained "
+                        "cells around its trajectory length and overrides "
+                        "--num_steps/--eps with the winner; implies "
+                        "--eps_fixed.  Measured at 16x16: lands within 5% "
+                        "of the hand-swept champion (RESULTS.md)")
+    p.add_argument("--autotune_probe_steps", type=int, default=8000,
+                   help="probe-training depth per autotune cell (coarse-K "
+                        "acceptance rescue needs ~10k steps to mature)")
     p.add_argument("--hmc", action="store_true", help="plain-HMC mode (zero nets)")
     p.add_argument("--network_arch", default="conv", choices=["conv", "mlp", "zero"])
     p.add_argument("--num_hidden", type=int, default=0, help="0 -> 2*x_dim")
@@ -199,6 +210,31 @@ def main(argv=None):
             "dead-gradient trap closes easily; use --eps_warmup_steps "
             "(dual-averaging warmup finds the stable eps automatically) "
             "and a small lr (e.g. --lr_init 2e-5, RESULTS.md)")
+
+    if args.autotune and not cfg.hmc:
+        # cold-start joint (K, eps) search (train/autotune.py): tune HMC's
+        # optimum at the target distribution, then the trained kernel's
+        # coarse-K cells around its trajectory length
+        from l2hmc_tpu.lattice.metropolis import thermalize
+        from l2hmc_tpu.train.autotune import tune_hmc, tune_l2hmc
+
+        key, k1, k2, k3 = jax.random.split(key, 4)
+        x0_t = u1.random_links(k1, cfg.num_chains, cfg.shape)
+        x_th = jax.jit(lambda x, k: thermalize(
+            k, x, cfg.shape, cfg.beta_final, 1000))(x0_t, k1)
+        hmc_opt = tune_hmc(cfg, x_th, cfg.beta_final, k2,
+                           probe_chains=max(cfg.num_chains, 512))
+        log(f"autotune: HMC optimum K={hmc_opt.num_steps} eps={hmc_opt.eps} "
+            f"acc={hmc_opt.accept:.3f}")
+        l2_opt = tune_l2hmc(
+            cfg, k3, hmc_opt,
+            probe_train_steps=args.autotune_probe_steps,
+            probe_chains=max(cfg.num_chains, 512))
+        log(f"autotune: trained cell K={l2_opt.num_steps} eps={l2_opt.eps} "
+            f"(probe acc {l2_opt.accept:.3f})")
+        cfg = dataclasses.replace(
+            cfg, num_steps=l2_opt.num_steps, eps_init=l2_opt.eps,
+            eps_trainable=False)
 
     state = init_train_state(cfg, key)
     start_step = 0
