@@ -230,3 +230,15 @@ def test_profile_digest_from_real_trace(tmp_path):
     assert "total_ms" in content and len(content.splitlines()) >= 3
     # no trace -> graceful None
     assert write_digest(tmp_path / "nope", tmp_path) is None
+
+
+def test_cli_autotune_flags_parse():
+    """--autotune / --grad_summaries flags reach the parser and config."""
+    sys.path.insert(0, str(Path(__file__).parent.parent / "cli"))
+    import train_gauge
+
+    a = train_gauge.build_parser().parse_args(
+        ["--autotune", "--autotune_probe_steps", "4000", "--grad_summaries"])
+    assert a.autotune and a.autotune_probe_steps == 4000
+    cfg = train_gauge.flags_to_config(a)
+    assert cfg.grad_summaries
