@@ -265,7 +265,14 @@ def _circle_scale(x, a):
 
 
 def _select_mask(masks, idx, K):
-    """Per-chain row gather masks[idx] as a K-way select (K is tiny)."""
+    """Per-chain row gather masks[idx] as a K-way select (K is tiny).
+
+    Kept for reference; the transition math now uses the cheaper 2-way
+    form — per unrolled step the only possible rows are the STATIC
+    ``masks[step]`` (forward) and ``masks[K-1-step]`` (backward), so one
+    direction select replaces the K-way scan (2K^2 -> 2K elementwise
+    passes per transition; bit-identical, the K-way select resolved to
+    exactly these rows)."""
     out = jnp.zeros((idx.shape[0], masks.shape[1]), jnp.float32)
     for k in range(K):
         out = out + (idx == k).astype(jnp.float32)[:, None] * masks[k][None, :]
@@ -370,12 +377,15 @@ def _l2hmc_transition_math(
         w0, w1, sumlogdet = kick(y0, y1, w0, w1, g0, g1, tau_v, factor,
                                  sumlogdet)
 
-        idx = jnp.where(dsign > 0, step, K - 1 - step).astype(jnp.int32)
-        tau_x = _time_enc(idx.astype(jnp.float32), K)
-        m0 = _select_mask(W.mask0, idx, K)
-        m1 = _select_mask(W.mask1, idx, K)
-        hold1_0 = jnp.where(d_col > 0, m0, 1.0 - m0)
-        hold1_1 = jnp.where(d_col > 0, m1, 1.0 - m1)
+        # step index is `step` forward / `K-1-step` backward — both STATIC
+        # in this unrolled loop, so the per-chain mask/time gathers reduce
+        # to one direction select of two fixed rows (see _select_mask)
+        tau_x = _time_enc(jnp.where(dsign > 0, float(step),
+                                    float(K - 1 - step)), K)
+        hold1_0 = jnp.where(d_col > 0, W.mask0[step][None, :],
+                            1.0 - W.mask0[K - 1 - step][None, :])
+        hold1_1 = jnp.where(d_col > 0, W.mask1[step][None, :],
+                            1.0 - W.mask1[K - 1 - step][None, :])
         y0, y1, sumlogdet = xhalf(y0, y1, w0, w1, hold1_0, hold1_1, tau_x,
                                   sumlogdet)
         y0, y1, sumlogdet = xhalf(y0, y1, w0, w1, 1.0 - hold1_0, 1.0 - hold1_1,
