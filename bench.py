@@ -351,14 +351,21 @@ def main():
         params = jax.tree_util.tree_unflatten(
             treedef, [jnp.asarray(z[f"arr_{i}"]) for i in range(len(flat))])
 
+        # the shipped champion is 16x16 beta=4, whose measured HMC joint
+        # (K, eps) optimum is (5, 0.08); a future champion npz at another
+        # volume/beta must ship its own baseline in the config dict
+        beta_c = float(cfg_d.get("beta_final", 4.0))
         hcfg = _dc2.replace(
-            ccfg, hmc=True, network_arch="zero", eps_init=0.08,
-            eps_trainable=False, num_steps=5, merge_v_halves=False)
+            ccfg, hmc=True, network_arch="zero",
+            eps_init=float(cfg_d.get("hmc_opt_eps", 0.08)),
+            eps_trainable=False,
+            num_steps=int(cfg_d.get("hmc_opt_num_steps", 5)),
+            merge_v_halves=False)
         hstate = _Gc.init_train_state(hcfg, key)
 
         _trace("champion eval: Metropolis thermalization...")
         x0 = _u1c.random_links(key, ccfg.num_chains, ccfg.shape)
-        x0 = jax.jit(lambda x, k: _therm(k, x, ccfg.shape, 4.0, 1000))(
+        x0 = jax.jit(lambda x, k: _therm(k, x, ccfg.shape, beta_c, 1000))(
             x0, jax.random.fold_in(key, 11))
 
         # INTERLEAVED timed chunks (t/h/t/h...): wall-clock drift on the
@@ -380,7 +387,7 @@ def main():
         prm = {"t": params, "h": hstate.params}
         chs = {"t": ch_t, "h": ch_h}
         for tag in ("t", "h"):   # compile + warm
-            xs[tag], m = chs[tag](prm[tag], xs[tag], 4.0, key)
+            xs[tag], m = chs[tag](prm[tag], xs[tag], beta_c, key)
             float(np.asarray(m["charges"]).sum())
         accum = {"t": ([], [], 0.0), "h": ([], [], 0.0)}
         kk = jax.random.fold_in(key, 13)
@@ -389,7 +396,7 @@ def main():
                 kk, sub = jax.random.split(kk)
                 pls, qs, wall_e = accum[tag]
                 t0 = time.perf_counter()
-                xs[tag], m = chs[tag](prm[tag], xs[tag], 4.0, sub)
+                xs[tag], m = chs[tag](prm[tag], xs[tag], beta_c, sub)
                 pls.append(np.asarray(m["plaqs"]))    # drains the chunk
                 wall_e += time.perf_counter() - t0
                 qs.append(np.asarray(m["charges"]))
@@ -410,9 +417,20 @@ def main():
 
         eff_t, ess_t, tun_t, plaq_t = finish("t", ccfg, "trained")
         eff_h, ess_h, tun_h, plaq_h = finish("h", hcfg, "hmc")
+        _trace("NOTE: the 4x1000-step ratio here is the under-powered "
+               "spot-check; the campaign-protocol figure (h2h_seeds.py, "
+               "15 seeds x 20k-step evals) is 1.0762 +- 0.0028 — quote that")
         trained_headline = {
             "trained_plaq_ess_per_s": round(eff_t, 1),
             "trained_vs_hmc_optimal_ess_per_s": round(eff_t / eff_h, 3),
+            # the error-barred measurement of the SAME ratio under the full
+            # campaign protocol (15 independent trainings, 20k x 2048-chain
+            # interleaved evals — benchmarks/h2h_seeds.py, RESULTS.md r3);
+            # the in-bench 4-chunk estimate above is its cheap spot-check
+            "trained_vs_hmc_campaign_mean": 1.0762,
+            "trained_vs_hmc_campaign_err_jk": 0.0028,
+            "trained_vs_hmc_campaign_protocol": (
+                "h2h_seeds 15 seeds x 20k steps x 2048 chains, interleaved"),
             "trained_vs_hmc_ess_per_step": round(ess_t / ess_h, 3),
             "trained_vs_hmc_tunneling_per_s": round(tun_t / tun_h, 3),
             "trained_plaq_mean": round(plaq_t, 6),
@@ -445,13 +463,14 @@ def main():
 
             @jax.jit
             def run_tf(l, k):
-                l, pl, ch, pr = _l2p(l, params, k, eps_c, 4.0,
+                l, pl, ch, pr = _l2p(l, params, k, eps_c, beta_c,
                                      ccfg.num_steps, NT_T)
                 return l, pl[:, :64], ch[:, :64], jnp.sum(pr)
 
             @jax.jit
             def run_hf(l, k):
-                l, pl, ch, pr = _hmcp(l, k, 0.08, 4.0, 5, NT_H)
+                l, pl, ch, pr = _hmcp(l, k, float(hcfg.eps_init), beta_c,
+                                      hcfg.num_steps, NT_H)
                 return l, pl[:, :64], ch[:, :64], jnp.sum(pr)
 
             links_f = _u1c.to_links(x0, ccfg.shape)

@@ -211,7 +211,17 @@ def main(argv=None):
             "(dual-averaging warmup finds the stable eps automatically) "
             "and a small lr (e.g. --lr_init 2e-5, RESULTS.md)")
 
-    if args.autotune and not cfg.hmc:
+    # --autotune composes badly with --restore: the search could change
+    # num_steps (masks shape (K, d)) after a checkpoint already fixed it,
+    # and re-running the probe sweep on every resume wastes minutes.  When
+    # a checkpoint exists, the tuned (K, eps) are already baked into the
+    # restored cfg/params — skip the search.
+    _has_ckpt = args.restore and any(
+        Path(args.log_dir).glob("run_*/checkpoints"))
+    if args.autotune and _has_ckpt:
+        log("autotune: skipped — restoring from an existing checkpoint "
+            "(its (K, eps) are fixed by the saved state)")
+    if args.autotune and not cfg.hmc and not _has_ckpt:
         # cold-start joint (K, eps) search (train/autotune.py): tune HMC's
         # optimum at the target distribution, then the trained kernel's
         # coarse-K cells around its trajectory length

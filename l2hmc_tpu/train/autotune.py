@@ -69,8 +69,13 @@ def _hmc_cfg(base, k: int, eps: float):
         eps_trainable=False, merge_v_halves=False)
 
 
-def _timed_probe(cfg, params, x, beta, key, steps: int, chunk: int = 200):
-    """Run ``steps`` eval transitions; return (plaq trace, accept, wall)."""
+def _make_probe_chunk(cfg, chunk: int = 200):
+    """Compile one probe chunk for a (K, arch) family.
+
+    eps lives in ``params`` (``init_train_state`` bakes ``eps_init`` into
+    the dynamics pytree), so every eps cell of the same K reuses this one
+    compiled function — only K changes the scan body and forces a retrace.
+    """
     from l2hmc_tpu.train.gauge import make_eval_chunk
 
     base = make_eval_chunk(cfg, chunk)
@@ -80,7 +85,22 @@ def _timed_probe(cfg, params, x, beta, key, steps: int, chunk: int = 200):
         x, m = base(params, x, beta, k)
         return x, m["plaqs"][:, :64], jnp.mean(m["accept_prob"])
 
-    x, pl, acc = run(params, x, beta, key)       # compile + warm
+    return run
+
+
+def _timed_probe(cfg, params, x, beta, key, steps: int, chunk: int = 200,
+                 run=None):
+    """Run ``steps`` eval transitions; return (plaq trace, accept, wall).
+
+    Pass ``run`` (from :func:`_make_probe_chunk`) to reuse a compiled probe
+    across eps cells; without it each call compiles its own.
+    """
+    if run is None:
+        run = _make_probe_chunk(cfg, chunk)
+
+    # warm stream is folded off the timed stream (no key reuse between the
+    # untimed warm chunk and the first timed chunk)
+    x, pl, acc = run(params, x, beta, jax.random.fold_in(key, -1))
     float(acc)
     traces, accs = [], []
     t0 = time.perf_counter()
@@ -195,13 +215,15 @@ def tune_hmc(
         kk = jax.random.fold_in(key, k)
         cfg_k = _hmc_cfg(base_cfg, k, base_cfg.eps_init)
         eps_da = _da_tune_eps(cfg_k, x, beta, kk, da_steps, target_accept)
+        probe_run = _make_probe_chunk(_hmc_cfg(probe_cfg_chains, k, eps_da))
         for mult in eps_grid:
             eps_k = eps_da * mult
             cfg_k = _hmc_cfg(probe_cfg_chains, k, eps_k)
             params = init_train_state(cfg_k, kk).params
             trace, acc, wall, x_probe = _timed_probe(
                 cfg_k, params, x_probe, beta,
-                jax.random.fold_in(kk, int(100 * mult)), probe_steps)
+                jax.random.fold_in(kk, int(100 * mult)), probe_steps,
+                run=probe_run)
             score = _probe_score(trace, wall, n_probe, estimator)
             cell = {"K": k, "eps": round(eps_k, 5), "accept": round(acc, 4),
                     "score": round(score, 1)}
@@ -255,6 +277,8 @@ def tune_l2hmc(
             base_cfg, num_steps=k, eps_init=lam / k, eps_trainable=False,
             train_steps=probe_train_steps)
         chunk = make_train_chunk(cfg_k0, 250)   # compiled once per K
+        probe_run = _make_probe_chunk(
+            dataclasses.replace(cfg_k0, num_chains=n_probe))
         for mult in eps_grid:
             eps_k = mult * lam / k
             cfg_k = dataclasses.replace(cfg_k0, eps_init=eps_k)
@@ -274,7 +298,7 @@ def tune_l2hmc(
                 trace, acc, wall, _ = _timed_probe(
                     probe_cfg, state.params, _tile_chains(state.x, n_probe),
                     base_cfg.beta_final, jax.random.fold_in(kk, 1),
-                    probe_steps)
+                    probe_steps, run=probe_run)
                 seed_scores.append(
                     _probe_score(trace, wall, n_probe, estimator))
                 seed_accs.append(acc)

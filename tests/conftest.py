@@ -64,6 +64,8 @@ SLOW_TESTS = {
     "test_su3_hmc_matches_exact_plaquette", "test_temperature_annealing_path",
     "test_topological_susceptibility_exact_oracle",
     "test_training_beats_hmc_mixing", "test_twin_matches_make_dynamics",
+    "test_composite_chain_stationary_on_oracles",
+    "test_hop_acceptance_rises_with_volume",
     "test_u1_kernel_detailed_balance_vs_metropolis",
     "test_u1_logdet_matches_autodiff", "test_vae_cli_smoke",
     "test_vae_training_improves_elbo",
@@ -71,6 +73,19 @@ SLOW_TESTS = {
 
 
 def pytest_collection_modifyitems(config, items):
+    matched = set()
     for item in items:
-        if item.name.split("[")[0] in SLOW_TESTS:
+        base = item.name.split("[")[0]
+        if base in SLOW_TESTS:
+            matched.add(base)
             item.add_marker(pytest.mark.slow)
+    # Guard (ADVICE r3): a renamed slow test would silently fall back into
+    # the fast tier; fail collection loudly when the registry drifts.
+    # Only enforced on full-directory collection — single-file/-k runs
+    # legitimately see a subset.
+    if len(items) > 150:
+        stale = SLOW_TESTS - matched
+        if stale:
+            raise pytest.UsageError(
+                f"tests/conftest.py SLOW_TESTS entries match no collected "
+                f"test (renamed or removed?): {sorted(stale)}")
