@@ -65,9 +65,9 @@ def interleaved_eval(cfg_t, params_t, cfg_h, params_h, x0_t, x0_h, beta,
     ch_t, ch_h = make(cfg_t), make(cfg_h)
     # compile + warm both outside the timed region; warm keys are folded
     # off the timed stream (no reuse between warm and timed chunks)
-    x_t, m = ch_t(params_t, x0_t, beta, jax.random.fold_in(key, -1))
+    x_t, m = ch_t(params_t, x0_t, beta, jax.random.fold_in(key, 999901))
     float(np.asarray(m["charges"]).sum())
-    x_h, m = ch_h(params_h, x0_h, beta, jax.random.fold_in(key, -2))
+    x_h, m = ch_h(params_h, x0_h, beta, jax.random.fold_in(key, 999902))
     float(np.asarray(m["charges"]).sum())
 
     out = {"t": {"plaqs": [], "charges": [], "accept": []},

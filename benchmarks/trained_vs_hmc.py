@@ -162,8 +162,11 @@ def trace_stats(arr, wall, max_chains=64, total_chains=None):
 def main(argv=None):
     p = argparse.ArgumentParser()
     # trained-kernel config
-    p.add_argument("--arch", default="conv", choices=["conv", "mlp"])
+    p.add_argument("--arch", default="conv",
+                   choices=["conv", "mlp", "local"])
     p.add_argument("--num_filters", type=int, default=8)
+    p.add_argument("--local_kernel", type=int, default=3)
+    p.add_argument("--local_layers", type=int, default=2)
     p.add_argument("--num_hidden", type=int, default=0, help="0 -> 2*x_dim")
     p.add_argument("--num_steps", type=int, default=3, help="leapfrog steps K")
     p.add_argument("--merge_v", action="store_true")
@@ -234,6 +237,7 @@ def main(argv=None):
         time_size=args.size, space_size=args.size,
         num_chains=args.num_chains, num_steps=args.num_steps,
         network_arch=args.arch, num_filters=args.num_filters,
+        local_kernel=args.local_kernel, local_layers=args.local_layers,
         num_hidden=args.num_hidden, train_steps=args.train_steps,
         charge_weight=args.charge_weight, charge_reward=args.charge_reward,
         merge_v_halves=args.merge_v, eps_init=args.eps_init,

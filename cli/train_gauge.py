@@ -60,9 +60,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="probe-training depth per autotune cell (coarse-K "
                         "acceptance rescue needs ~10k steps to mature)")
     p.add_argument("--hmc", action="store_true", help="plain-HMC mode (zero nets)")
-    p.add_argument("--network_arch", default="conv", choices=["conv", "mlp", "zero"])
+    p.add_argument("--network_arch", default="conv",
+                   choices=["conv", "mlp", "local", "zero"])
     p.add_argument("--num_hidden", type=int, default=0, help="0 -> 2*x_dim")
-    p.add_argument("--num_filters", type=int, default=8)
+    p.add_argument("--num_filters", type=int, default=8,
+                   help="conv stack width; channel count for --network_arch local")
+    p.add_argument("--local_kernel", type=int, default=3,
+                   help="conv kernel size for the weight-shared local conditioner")
+    p.add_argument("--local_layers", type=int, default=2,
+                   help="conv depth for the local conditioner")
     p.add_argument("--bf16", action="store_true", help="bfloat16 network matmuls")
     p.add_argument("--group", default="u1", choices=["u1", "r1"],
                    help="kernel state space: exact torus (u1) or flat+wrap (r1)")
@@ -154,6 +160,7 @@ def flags_to_config(a):
         eps_cap=a.eps_cap, eps_trainable=not a.eps_fixed, hmc=a.hmc,
         network_arch="zero" if a.hmc else a.network_arch,
         num_hidden=a.num_hidden, num_filters=a.num_filters, use_bf16=a.bf16,
+        local_kernel=a.local_kernel, local_layers=a.local_layers,
         metric=a.metric, loss_scale=a.loss_scale, std_weight=a.std_weight,
         aux_weight=a.aux_weight, charge_weight=a.charge_weight,
         charge_reward=a.charge_reward, ref_z_term=a.ref_z_term,

@@ -370,6 +370,119 @@ def make_conv_net(spec: ConvNetSpec):
     return init, apply
 
 
+@dataclasses.dataclass(frozen=True)
+class LocalNetSpec:
+    """Static spec for the weight-shared LOCAL conditioner (VERDICT r3
+    item 2).
+
+    No dense trunk, no pooling, no flatten-to-global anywhere: inputs are
+    stacked as channels of one ``(B, Lt, Lx, C)`` field, pushed through
+    ``num_layers`` small periodic convs, and a 1x1 conv head emits
+    per-link S/T/Q directly.  Cost is O(V * k^2 * c^2) with a tiny
+    constant — it scales WITH the lattice, unlike the dense-trunk MLP/CNN
+    whose O(V * h) embeddings/heads made the 64x64 cost-normalized ratio
+    collapse (RESULTS.md volume trend: 1.086/1.078/1.016/~0.79 at
+    8/16/32/64).  The receptive field after two 3x3 convs is 5x5 — the
+    physical scale of the plaquette interaction, which is strictly local;
+    the global analysis channel the dense trunk provided never bought
+    more than a few percent per-step quality (MLP-vs-CNN study).
+
+    This is the reference's own geometric-prior idea
+    (``network/conv_net.py:57-310``) done volume-scalably: translation
+    equivariant (periodic padding, per-channel head coefficients), zero
+    pooling, zero dense layers.
+    """
+
+    time_size: int
+    space_size: int
+    channels: int = 8
+    kernel_size: int = 3
+    num_layers: int = 2
+    factor: float = 1.0          # x-slot input-channel init scaling (parity)
+    use_bf16: bool = False
+    bounded_q: bool = False
+    v_channels: int = 2          # 2 link dirs; 4 when cos/sin features
+    x_channels: int = 2
+
+    @property
+    def x_dim(self) -> int:
+        return self.time_size * self.space_size * 2
+
+
+def make_local_net(spec: LocalNetSpec):
+    """Build (init, apply) for the local per-link S/T/Q conditioner."""
+
+    compute_dtype = jnp.bfloat16 if spec.use_bf16 else None
+    lt, lx = spec.time_size, spec.space_size
+    c = spec.channels
+    k = spec.kernel_size
+    cin = spec.v_channels + spec.x_channels + 2  # + 2 broadcast time channels
+
+    def init(key: jax.Array) -> Params:
+        ks = jax.random.split(key, spec.num_layers + 1)
+        params: Params = {}
+        params["conv_0"] = _conv_init(ks[0], k, k, cin, c)
+        # factor-scaled init on the x-slot input channels (GenericNet's
+        # per-input factor semantics, generic_net.py:149-161): XNet sees
+        # the masked position there with factor 2
+        if spec.factor != 1.0:
+            w = params["conv_0"]["w"]
+            lo = spec.v_channels
+            hi = spec.v_channels + spec.x_channels
+            w = w.at[:, :, lo:hi, :].multiply(np.sqrt(spec.factor))
+            params["conv_0"] = {"w": w, "b": params["conv_0"]["b"]}
+        for i in range(1, spec.num_layers):
+            params[f"conv_{i}"] = _conv_init(ks[i], k, k, c, c)
+        # 1x1 head conv -> 6 channels ([S | T | Q] x 2 link dirs), 0.001
+        # factor so the kernel starts ~identity (head convention parity)
+        fan_in = c
+        stddev = np.sqrt(1.3 * 2.0 * 0.001 / fan_in)
+        params["head"] = {
+            "w": stddev * jax.random.truncated_normal(
+                ks[-1], -2.0, 2.0, (1, 1, c, 6), jnp.float32),
+            "b": jnp.zeros((6,), jnp.float32),
+        }
+        # per-(output, link-dir) coefficients — translation equivariance
+        # keeps these channel-wise (the dense nets' (1, d) coeffs would
+        # break weight sharing)
+        params["coeff_scale"] = jnp.zeros((2,), jnp.float32)
+        params["coeff_transformation"] = jnp.zeros((2,), jnp.float32)
+        return params
+
+    def to_image(flat: jax.Array, n_ch: int) -> jax.Array:
+        b = flat.shape[0]
+        if n_ch == 2:
+            return flat.reshape(b, lt, lx, 2)
+        cos_part, sin_part = jnp.split(flat, 2, axis=-1)
+        return jnp.concatenate(
+            [cos_part.reshape(b, lt, lx, 2), sin_part.reshape(b, lt, lx, 2)],
+            axis=-1,
+        )
+
+    def apply(params: Params, v: jax.Array, x: jax.Array, t: jax.Array, aux=None):
+        b = v.shape[0]
+        t_img = jnp.broadcast_to(t[:, None, None, :], (b, lt, lx, 2))
+        img = jnp.concatenate(
+            [to_image(v, spec.v_channels), to_image(x, spec.x_channels),
+             t_img], axis=-1)
+        y = img
+        for i in range(spec.num_layers):
+            y = jax.nn.relu(_conv2d_periodic(params[f"conv_{i}"], y,
+                                             compute_dtype))
+        heads = _conv2d_periodic(params["head"], y, compute_dtype)
+        s_raw = heads[..., 0:2]
+        t_out = heads[..., 2:4]
+        q_raw = heads[..., 4:6]
+        scale = jnp.tanh(s_raw) * jnp.exp(params["coeff_scale"])
+        if spec.bounded_q:
+            q_raw = jnp.tanh(q_raw)
+        transformation = q_raw * jnp.exp(params["coeff_transformation"])
+        return (scale.reshape(b, -1), t_out.reshape(b, -1),
+                transformation.reshape(b, -1))
+
+    return init, apply
+
+
 def make_zero_net(x_dim: int):
     """HMC-degenerate network: S = T = Q = 0.
 

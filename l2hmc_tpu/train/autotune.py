@@ -100,7 +100,7 @@ def _timed_probe(cfg, params, x, beta, key, steps: int, chunk: int = 200,
 
     # warm stream is folded off the timed stream (no key reuse between the
     # untimed warm chunk and the first timed chunk)
-    x, pl, acc = run(params, x, beta, jax.random.fold_in(key, -1))
+    x, pl, acc = run(params, x, beta, jax.random.fold_in(key, 999901))
     float(acc)
     traces, accs = [], []
     t0 = time.perf_counter()

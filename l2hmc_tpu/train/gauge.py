@@ -61,9 +61,11 @@ class GaugeConfig:
     eps_cap: float = 0.0             # see DynamicsConfig.eps_cap
     eps_trainable: bool = True
     hmc: bool = False
-    network_arch: str = "conv"       # 'conv' | 'mlp' | 'zero'
+    network_arch: str = "conv"       # 'conv' | 'mlp' | 'local' | 'zero'
     num_hidden: int = 0              # 0 -> 2 * x_dim (gauge_dynamics.py:129)
-    num_filters: int = 8
+    num_filters: int = 8             # conv stack width; 'local' channel count
+    local_kernel: int = 3            # 'local' conditioner conv kernel size
+    local_layers: int = 2            # 'local' conditioner conv depth
     use_bf16: bool = False
     # tanh-bound the transformation head.  The fork's GenericNet/ConvNet3D
     # leave Q unbounded (generic_net.py:141-146); exp(eps*q) then explodes a
@@ -193,6 +195,23 @@ def build_networks(cfg: GaugeConfig):
             num_hidden=cfg.hidden, factor=1.0, use_bf16=cfg.use_bf16,
             bounded_q=cfg.bounded_q, v_channels=pos_ch,
         ))
+    elif cfg.network_arch == "local":
+        # weight-shared per-link conditioner: O(V) cost with a tiny
+        # constant — the volume-scalable family (VERDICT r3 item 2)
+        from l2hmc_tpu.networks.nets import LocalNetSpec, make_local_net
+
+        xi, xa = make_local_net(LocalNetSpec(
+            cfg.time_size, cfg.space_size, channels=cfg.num_filters,
+            kernel_size=cfg.local_kernel, num_layers=cfg.local_layers,
+            factor=2.0, use_bf16=cfg.use_bf16, bounded_q=cfg.bounded_q,
+            x_channels=pos_ch,
+        ))
+        vi, va = make_local_net(LocalNetSpec(
+            cfg.time_size, cfg.space_size, channels=cfg.num_filters,
+            kernel_size=cfg.local_kernel, num_layers=cfg.local_layers,
+            factor=1.0, use_bf16=cfg.use_bf16, bounded_q=cfg.bounded_q,
+            v_channels=pos_ch,
+        ))
     elif cfg.network_arch == "zero":
         from l2hmc_tpu.networks.nets import make_zero_net
 
@@ -230,6 +249,11 @@ def build_dynamics(cfg: GaugeConfig):
 
 
 def _effective_lr(cfg: GaugeConfig) -> float:
+    if cfg.network_arch == "local":
+        # the local conditioner's head fan-in is k^2 * channels (weight
+        # shared, volume-independent) — the width-scaling rationale (output
+        # jump per Adam step grows with fan-in) does not apply
+        return cfg.lr_init
     return cfg.lr_init * min(1.0, cfg.lr_width_ref / max(cfg.hidden, 1))
 
 

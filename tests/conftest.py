@@ -65,6 +65,7 @@ SLOW_TESTS = {
     "test_topological_susceptibility_exact_oracle",
     "test_training_beats_hmc_mixing", "test_twin_matches_make_dynamics",
     "test_composite_chain_stationary_on_oracles",
+    "test_pt_rungs_stationary_on_oracles", "test_local_net_trains_on_gauge",
     "test_hop_acceptance_rises_with_volume",
     "test_u1_kernel_detailed_balance_vs_metropolis",
     "test_u1_logdet_matches_autodiff", "test_vae_cli_smoke",

@@ -100,3 +100,44 @@ def test_charge_histogram_and_stats():
 def test_therm_cut():
     x = np.arange(100)
     assert len(stats.therm_cut(x, 0.25)) == 75
+
+
+def ar1_batch(t, c, rho, seed=0):
+    rng = np.random.default_rng(seed)
+    x = np.zeros((t, c))
+    x[0] = rng.normal(size=c)
+    e = rng.normal(size=(t, c)) * np.sqrt(1 - rho**2)
+    for i in range(1, t):
+        x[i] = rho * x[i - 1] + e[i]
+    return x
+
+
+def test_pooled_integrated_time_short_chains():
+    """Pooled tau_int recovers the analytic AR(1) tau where a single
+    short trace is unreliable (the 32x32 Q regime, VERDICT r3 item 6)."""
+    rho = 0.9
+    tau_exact = (1 + rho) / (1 - rho)          # 19.0
+    x = ar1_batch(400, 512, rho, seed=1)
+    tau, reliable = stats.pooled_integrated_time(x)
+    assert reliable
+    assert abs(tau - tau_exact) / tau_exact < 0.12
+    # single 400-step trace at tau=19: tol*tau = 950 > 400 -> unreliable
+    _, single_ok = stats.integrated_time(x[:, 0])
+    assert not single_ok
+
+
+def test_pooled_matches_single_chain_limit():
+    rho = 0.6
+    x = ar1(200_000, rho)
+    tau_pooled, ok = stats.pooled_integrated_time(x)
+    tau_single, _ = stats.integrated_time(x)
+    assert ok
+    assert abs(tau_pooled - tau_single) / tau_single < 0.05
+
+
+def test_pooled_ess_iid():
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(300, 128))
+    assert stats.pooled_ess(x) > 0.8          # iid -> tau ~ 1
+    tau, ok = stats.pooled_integrated_time(x)
+    assert ok and tau < 1.3

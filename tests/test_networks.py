@@ -144,3 +144,98 @@ def test_lrn_variant(key):
     params = init(key)
     s, t, q = apply(params, jnp.ones((2, 128)), jnp.ones((2, 128)), jnp.zeros((2, 2)))
     assert np.isfinite(np.asarray(s)).all()
+
+
+# ---------------------------------------------------------------------------
+# Local (weight-shared per-link) conditioner
+# ---------------------------------------------------------------------------
+
+
+def _roll_links_flat(flat, lt, lx, n_ch, st, sx):
+    """Translate a flat per-link field (or cos/sin feature field) on the
+    torus: reshape to images, roll both spatial axes, flatten back."""
+    b = flat.shape[0]
+    if n_ch == 2:
+        img = flat.reshape(b, lt, lx, 2)
+        return jnp.roll(img, (st, sx), axis=(1, 2)).reshape(b, -1)
+    cos_p, sin_p = jnp.split(flat, 2, axis=-1)
+    out = []
+    for part in (cos_p, sin_p):
+        img = part.reshape(b, lt, lx, 2)
+        out.append(jnp.roll(img, (st, sx), axis=(1, 2)).reshape(b, -1))
+    return jnp.concatenate(out, axis=-1)
+
+
+def test_local_net_shapes_and_identity_init(key):
+    from l2hmc_tpu.networks.nets import LocalNetSpec, make_local_net
+
+    spec = LocalNetSpec(time_size=6, space_size=4, channels=8, factor=2.0)
+    init, apply = make_local_net(spec)
+    params = init(key)
+    d = spec.x_dim
+    v = jax.random.normal(key, (3, d))
+    x = jax.random.normal(jax.random.fold_in(key, 1), (3, d))
+    t = jnp.tile(jnp.array([[1.0, 0.0]]), (3, 1))
+    s, tr, q = apply(params, v, x, t)
+    assert s.shape == tr.shape == q.shape == (3, d)
+    # near-identity init (0.001-factor head)
+    assert float(jnp.std(s)) < 0.05
+    assert float(jnp.std(tr)) < 0.05
+    # no dense trunk: parameter count is volume-independent
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
+    spec_big = LocalNetSpec(time_size=32, space_size=32, channels=8, factor=2.0)
+    init_big, _ = make_local_net(spec_big)
+    n_params_big = sum(
+        p.size for p in jax.tree_util.tree_leaves(init_big(key)))
+    assert n_params == n_params_big
+
+
+def test_local_net_translation_equivariance(key):
+    """Rolling the input fields on the torus rolls the S/T/Q outputs —
+    the property the dense-trunk nets structurally lack."""
+    from l2hmc_tpu.networks.nets import LocalNetSpec, make_local_net
+
+    lt, lx = 6, 4
+    spec = LocalNetSpec(time_size=lt, space_size=lx, channels=8,
+                        x_channels=4)
+    init, apply = make_local_net(spec)
+    params = init(key)
+    d = 2 * lt * lx
+    v = jax.random.normal(key, (2, d))
+    x = jax.random.normal(jax.random.fold_in(key, 1), (2, 2 * d))
+    t = jnp.tile(jnp.array([[0.3, 0.7]]), (2, 1))
+    s0, t0, q0 = apply(params, v, x, t)
+    st_, sx_ = 2, 3
+    vr = _roll_links_flat(v, lt, lx, 2, st_, sx_)
+    xr = _roll_links_flat(x, lt, lx, 4, st_, sx_)
+    s1, t1, q1 = apply(params, vr, xr, t)
+    for a, b in ((s0, s1), (t0, t1), (q0, q1)):
+        a_img = a.reshape(2, lt, lx, 2)
+        b_img = b.reshape(2, lt, lx, 2)
+        np.testing.assert_allclose(
+            np.asarray(jnp.roll(a_img, (st_, sx_), axis=(1, 2))),
+            np.asarray(b_img), atol=1e-5)
+
+
+def test_local_net_trains_on_gauge(key):
+    """Short 8x8 training run with the local conditioner: loss falls and
+    acceptance stays alive (the dead-gradient trap would pin it at 0)."""
+    from l2hmc_tpu.train.gauge import (
+        GaugeConfig, init_train_state, make_train_chunk,
+    )
+
+    cfg = GaugeConfig(
+        time_size=8, space_size=8, num_chains=16, num_steps=2,
+        network_arch="local", num_filters=8, beta_init=2.0, beta_final=2.0,
+        train_steps=200, eps_init=0.2, eps_trainable=False)
+    state = init_train_state(cfg, key)
+    chunk = make_train_chunk(cfg, 50)
+    losses, accs = [], []
+    kk = key
+    for _ in range(4):
+        kk, sub = jax.random.split(kk)
+        state, m = chunk(state, sub)
+        losses.append(float(np.asarray(m["loss"]).mean()))
+        accs.append(float(np.asarray(m["accept_prob"]).mean()))
+    assert losses[-1] < losses[0]
+    assert accs[-1] > 0.2
