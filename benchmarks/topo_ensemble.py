@@ -94,6 +94,10 @@ def main(argv=None):
     p.add_argument("--n_hops", type=int, default=1)
     p.add_argument("--nu_max", type=int, default=1)
     p.add_argument("--therm_sweeps", type=int, default=1500)
+    p.add_argument("--trace_chains", type=int, default=64,
+                   help="on-device trace slice width; raise at large volume "
+                        "so the POOLED tau_int(Q) window stays reliable "
+                        "(pooling cuts rho-noise by sqrt(chains))")
     p.add_argument("--no_champion", action="store_true")
     p.add_argument("--out", default="")
     args = p.parse_args(argv)
@@ -116,11 +120,13 @@ def main(argv=None):
         eps_trainable=False, beta_final=args.beta)
     hparams = init_train_state(hcfg, jax.random.PRNGKey(1)).params
 
+    n_tr = args.trace_chains
+
     def slice64(base):
         @jax.jit
         def chunk(params, x, beta, key):
             x, m = base(params, x, beta, key)
-            return x, {k: v[:, :64] for k, v in m.items()}
+            return x, {k: v[:, :n_tr] for k, v in m.items()}
         return chunk
 
     samplers = [

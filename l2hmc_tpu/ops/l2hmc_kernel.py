@@ -318,26 +318,36 @@ def _l2hmc_transition_math(
             return [(z, z, z), (z, z, z)]
 
         vnet = xnet = lambda *a: _zeros()
+
+        def link_trig(yy0, yy1):
+            return None
     else:
-        def vnet(yy0, yy1, gg0, gg1, tau):
+        def link_trig(yy0, yy1):
+            """Per-link cos/sin feature quartet.  Per step the VNet kick
+            and the FIRST XNet half-update see the same (y0, y1) — kick
+            moves only momenta — so one evaluation serves both (4 of 12
+            d-wide feature trig per step saved; bit-identical: identical
+            ops on identical inputs, just deduplicated)."""
+            return jnp.cos(yy0), jnp.cos(yy1), jnp.sin(yy0), jnp.sin(yy1)
+
+        def vnet(trig, gg0, gg1, tau):
             # one (b, 6d) @ (6d, h) deep-K matmul (order matches
             # pack_weights)
-            feats = jnp.concatenate(
-                [jnp.cos(yy0), jnp.cos(yy1), jnp.sin(yy0), jnp.sin(yy1),
-                 gg0, gg1], axis=1)
+            cy0, cy1, sy0, sy1 = trig
+            feats = jnp.concatenate([cy0, cy1, sy0, sy1, gg0, gg1], axis=1)
             pre = _mm(feats, W.vin) + _tau_term(tau, W.vt) + W.vb
             return _heads(_trunk(pre, W, "v"), W, "v", bounded_q)
 
-        def xnet(ww0, ww1, yy0, yy1, m0, m1, tau):
+        def xnet(ww0, ww1, trig, m0, m1, tau):
+            cy0, cy1, sy0, sy1 = trig
             feats = jnp.concatenate(
-                [ww0, ww1, m0 * jnp.cos(yy0), m1 * jnp.cos(yy1),
-                 m0 * jnp.sin(yy0), m1 * jnp.sin(yy1)], axis=1)
+                [ww0, ww1, m0 * cy0, m1 * cy1, m0 * sy0, m1 * sy1], axis=1)
             pre = _mm(feats, W.xin) + _tau_term(tau, W.xt) + W.xb
             return _heads(_trunk(pre, W, "x"), W, "x", bounded_q)
 
-    def kick(y0_, y1_, w0_, w1_, g0_, g1_, tau, factor, ld):
+    def kick(trig, w0_, w1_, g0_, g1_, tau, factor, ld):
         """Merged momentum kick, direction-fused (l2hmc.py update_v)."""
-        (s0, t0, q0), (s1, t1, q1) = vnet(y0_, y1_, g0_, g1_, tau)
+        (s0, t0, q0), (s1, t1, q1) = vnet(trig, g0_, g1_, tau)
         out = []
         for (w_, s_, t_, q_, g_) in ((w0_, s0, t0, q0, g0_),
                                      (w1_, s1, t1, q1, g1_)):
@@ -348,10 +358,14 @@ def _l2hmc_transition_math(
             ld = ld + dsign * jnp.sum(hs, axis=1)
         return out[0], out[1], ld
 
-    def xhalf(y0_, y1_, w0_, w1_, hold0, hold1, tau, ld):
+    def xhalf(y0_, y1_, w0_, w1_, hold0, hold1, tau, ld, trig=None):
         """One masked position half-update on the torus (l2hmc.py
-        update_x, 'u1' branch)."""
-        (s0, t0, q0), (s1, t1, q1) = xnet(w0_, w1_, y0_, y1_, hold0, hold1,
+        update_x, 'u1' branch).  ``trig``: precomputed link cos/sin at
+        (y0_, y1_) when the caller already has them (the first half-update
+        of each step shares the kick's evaluation)."""
+        if trig is None:
+            trig = link_trig(y0_, y1_)
+        (s0, t0, q0), (s1, t1, q1) = xnet(w0_, w1_, trig, hold0, hold1,
                                           tau)
         outs = []
         for (y_, w_, s_, t_, q_, hold) in (
@@ -369,12 +383,15 @@ def _l2hmc_transition_math(
         return outs[0], outs[1], ld
 
     for step in range(K):
-        # boundary momentum kick (leapfrog_step_merged)
+        # boundary momentum kick (leapfrog_step_merged); its link trig is
+        # shared with the first x half-update below (same y0/y1 — the kick
+        # moves only momenta)
         factor = 0.5 if step == 0 else 1.0
         t_fwd = 0.0 if step == 0 else step - 0.5
         t_bwd = float(K - 1) if step == 0 else K - 0.5 - step
         tau_v = _time_enc(jnp.where(dsign > 0, t_fwd, t_bwd), K)
-        w0, w1, sumlogdet = kick(y0, y1, w0, w1, g0, g1, tau_v, factor,
+        trig = link_trig(y0, y1)
+        w0, w1, sumlogdet = kick(trig, w0, w1, g0, g1, tau_v, factor,
                                  sumlogdet)
 
         # step index is `step` forward / `K-1-step` backward — both STATIC
@@ -387,7 +404,7 @@ def _l2hmc_transition_math(
         hold1_1 = jnp.where(d_col > 0, W.mask1[step][None, :],
                             1.0 - W.mask1[K - 1 - step][None, :])
         y0, y1, sumlogdet = xhalf(y0, y1, w0, w1, hold1_0, hold1_1, tau_x,
-                                  sumlogdet)
+                                  sumlogdet, trig=trig)
         y0, y1, sumlogdet = xhalf(y0, y1, w0, w1, 1.0 - hold1_0, 1.0 - hold1_1,
                                   tau_x, sumlogdet)
 
@@ -397,7 +414,8 @@ def _l2hmc_transition_math(
 
     # closing half kick at trajectory time K-1 (fwd) / 0 (bwd)
     tau_v = _time_enc(jnp.where(dsign > 0, float(K - 1), 0.0), K)
-    w0, w1, sumlogdet = kick(y0, y1, w0, w1, g0, g1, tau_v, 0.5, sumlogdet)
+    w0, w1, sumlogdet = kick(link_trig(y0, y1), w0, w1, g0, g1, tau_v, 0.5,
+                             sumlogdet)
 
     ke1 = 0.5 * (jnp.sum(w0 * w0, axis=1) + jnp.sum(w1 * w1, axis=1))
     dh = h_init - (beta * pot1 + ke1) + sumlogdet
