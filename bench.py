@@ -382,17 +382,29 @@ def main():
 
             return chunk_e
 
+        # third interleaved sampler: the champion + 1 instanton hop per
+        # step (dynamics/topo.py) — the round-4 topological-channel
+        # winner; its hop cost is inside the timed chunk
+        from l2hmc_tpu.dynamics import topo as _topo
+
+        base_th = _topo.make_hop_eval_chunk(ccfg, 1000)
+
+        @jax.jit
+        def ch_th(params, x, beta, k):
+            x, m = base_th(params, x, beta, k)
+            return x, {n: v[:, :64] for n, v in m.items()}
+
         ch_t, ch_h = make_chunk(ccfg), make_chunk(hcfg)
-        xs = {"t": x0, "h": x0}
-        prm = {"t": params, "h": hstate.params}
-        chs = {"t": ch_t, "h": ch_h}
-        for tag in ("t", "h"):   # compile + warm
+        xs = {"t": x0, "h": x0, "th": x0}
+        prm = {"t": params, "h": hstate.params, "th": params}
+        chs = {"t": ch_t, "h": ch_h, "th": ch_th}
+        for tag in ("t", "h", "th"):   # compile + warm
             xs[tag], m = chs[tag](prm[tag], xs[tag], beta_c, key)
             float(np.asarray(m["charges"]).sum())
-        accum = {"t": ([], [], 0.0), "h": ([], [], 0.0)}
+        accum = {"t": ([], [], 0.0), "h": ([], [], 0.0), "th": ([], [], 0.0)}
         kk = jax.random.fold_in(key, 13)
         for i in range(4):
-            for tag in ("t", "h"):
+            for tag in ("t", "h", "th"):
                 kk, sub = jax.random.split(kk)
                 pls, qs, wall_e = accum[tag]
                 t0 = time.perf_counter()
@@ -417,6 +429,13 @@ def main():
 
         eff_t, ess_t, tun_t, plaq_t = finish("t", ccfg, "trained")
         eff_h, ess_h, tun_h, plaq_h = finish("h", hcfg, "hmc")
+        eff_th, ess_th, tun_th, plaq_th = finish("th", ccfg, "trained+hop")
+        # pooled multi-chain tau_int(Q) for the topo channel (the HMC
+        # baseline's single-trace Sokal estimate is marginal at tau ~ 375)
+        q_h = np.concatenate(accum["h"][1])
+        q_th = np.concatenate(accum["th"][1])
+        tau_h, _ = _stats.pooled_integrated_time(q_h)
+        tau_th, _ = _stats.pooled_integrated_time(q_th)
         _trace("NOTE: the 4x1000-step ratio here is the under-powered "
                "spot-check; the campaign-protocol figure (h2h_seeds.py, "
                "15 seeds x 20k-step evals) is 1.0762 +- 0.0028 — quote that")
@@ -433,6 +452,16 @@ def main():
                 "h2h_seeds 15 seeds x 20k steps x 2048 chains, interleaved"),
             "trained_vs_hmc_ess_per_step": round(ess_t / ess_h, 3),
             "trained_vs_hmc_tunneling_per_s": round(tun_t / tun_h, 3),
+            # round-4 topological channel: champion + instanton hops
+            # (dynamics/topo.py), all hop cost counted in the timed chunks;
+            # campaign figures (5 reps): tunneling/s 21.40 +- 0.10, pooled
+            # Q-ESS/s 44.1 +- 3.2, plaq-ESS/s 1.051 +- 0.011
+            "trained_hop_plaq_ess_per_s": round(eff_th, 1),
+            "trained_hop_vs_hmc_ess_per_s": round(eff_th / eff_h, 3),
+            "trained_hop_tunneling_vs_hmc": round(tun_th / tun_h, 3),
+            "trained_hop_q_tau_pooled": round(tau_th, 2),
+            "hmc_q_tau_pooled": round(tau_h, 2),
+            "trained_hop_plaq_mean": round(plaq_th, 6),
             "trained_plaq_mean": round(plaq_t, 6),
             "trained_config": (
                 f"champion {cfg_d.get('network_arch')} h{cfg_d.get('num_hidden')} "

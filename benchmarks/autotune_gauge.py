@@ -41,6 +41,12 @@ def main(argv=None):
     p.add_argument("--num_chains", type=int, default=128)
     p.add_argument("--eval_chains", type=int, default=1024)
     p.add_argument("--num_hidden", type=int, default=64)
+    p.add_argument("--arch", default="mlp", choices=["mlp", "local"],
+                   help="conditioner family for the trained-kernel search "
+                        "(local = weight-shared per-link convs, the "
+                        "volume-scalable family)")
+    p.add_argument("--num_filters", type=int, default=8,
+                   help="channels for --arch local")
     p.add_argument("--hmc_k_grid", default="3,4,5,6,8")
     p.add_argument("--l2hmc_k_grid", default="2,3,4,5")
     p.add_argument("--probe_train_steps", type=int, default=2000)
@@ -63,8 +69,9 @@ def main(argv=None):
 
     base = GaugeConfig(
         time_size=args.size, space_size=args.size,
-        num_chains=args.num_chains, network_arch="mlp",
-        num_hidden=args.num_hidden, merge_v_halves=True,
+        num_chains=args.num_chains, network_arch=args.arch,
+        num_hidden=args.num_hidden, num_filters=args.num_filters,
+        merge_v_halves=True,
         # volume-scaled starting eps for the DA search (cli resolve_eps)
         eps_init=0.35 * (64.0 / (args.size * args.size)) ** 0.25,
         beta_init=2.0, beta_final=args.beta,
