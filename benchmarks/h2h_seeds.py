@@ -115,6 +115,11 @@ def main(argv=None):
     p.add_argument("--eval_chains", type=int, default=2048)
     p.add_argument("--num_chains", type=int, default=128)
     p.add_argument("--num_hidden", type=int, default=64)
+    p.add_argument("--arch", default="mlp", choices=["mlp", "conv", "local"],
+                   help="trained-kernel conditioner family (local = the "
+                        "weight-shared per-link conv family, r4)")
+    p.add_argument("--num_filters", type=int, default=8)
+    p.add_argument("--lr_init", type=float, default=1e-3)
     p.add_argument("--num_steps", type=int, default=3)
     p.add_argument("--eps", type=float, default=0.125)
     p.add_argument("--hmc_num_steps", type=int, default=5)
@@ -145,7 +150,8 @@ def main(argv=None):
     base = GaugeConfig(
         time_size=args.size, space_size=args.size,
         num_chains=args.num_chains, num_steps=args.num_steps,
-        network_arch="mlp", num_hidden=args.num_hidden,
+        network_arch=args.arch, num_hidden=args.num_hidden,
+        num_filters=args.num_filters, lr_init=args.lr_init,
         merge_v_halves=True, eps_init=args.eps, eps_trainable=False,
         train_steps=args.train_steps, beta_final=args.beta,
         metric=args.metric, charge_reward=args.charge_reward,
@@ -235,7 +241,7 @@ def main(argv=None):
             "size": args.size, "beta": args.beta, "seeds": args.seeds,
             "train_steps": args.train_steps, "eval_steps": args.eval_steps,
             "eval_chains": args.eval_chains,
-            "trained": f"mlp h{args.num_hidden} K={args.num_steps} "
+            "trained": f"{args.arch} h{args.num_hidden} K={args.num_steps} "
                        f"eps={args.eps} fixed merge_v"
                        + (f" charge_reward w={args.charge_weight}"
                           if args.charge_reward else ""),

@@ -145,21 +145,39 @@ def transition_op_counts(b, lt, lx, K):
     return c_abl, c_hmc
 
 
-def measure_rates(b, d, reps=3, m=64):
+def measure_rates(b, d, reps=3, m_lo=2048, m_hi=16384):
     """Delivered elements/s per op class via dependency-chained loops.
 
-    Each chain body is 1 target op + n_extra cheap ops; the cheap rate is
-    measured first and its contamination subtracted, so every class rate
-    is an upper bound (speed of light) on what any kernel can issue.
+    On the axon tunnel every dispatch carries ~10 ms of fixed latency that
+    dwarfs millisecond-scale compute, so each class is timed at TWO chain
+    lengths and the rate taken from the SLOPE (t_hi - t_lo) — fixed
+    overhead cancels exactly.  Each chain body is 1 target op + n_extra
+    cheap ops; the cheap rate is measured first and its contamination
+    subtracted, keeping every class rate an upper bound (speed of light)
+    so the derived machinery time is a genuine lower bound.
     """
     x0 = jnp.full((b, d), 0.5, jnp.float32)
 
-    def chain(body):
+    def chain(body, m):
         @jax.jit
         def run(x):
             x = jax.lax.fori_loop(0, m, lambda i, x: body(x), x)
             return jnp.sum(x)
         return run
+
+    def slope_time(body):
+        """Seconds per chain step from the two-length slope."""
+        ts = {}
+        for m in (m_lo, m_hi):
+            run = chain(body, m)
+            float(run(x0))
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                float(run(x0))
+                best = min(best, time.perf_counter() - t0)
+            ts[m] = best
+        return max(ts[m_hi] - ts[m_lo], 1e-9) / (m_hi - m_lo)
 
     # (name, body, n_target_ops, n_cheap_ops)
     probes = [
@@ -170,28 +188,20 @@ def measure_rates(b, d, reps=3, m=64):
         ("div", lambda x: 1.7 / (x + 1.2), 1, 1),
         ("floor", lambda x: (x - jnp.floor(x * 0.73)) * 0.9 + 0.05, 1, 4),
     ]
-    elems = b * d * m
+    elems = b * d
     rates = {}
     t_cheap_per_elem = None
     for name, body, n_t, n_c in probes:
-        run = chain(body)
-        float(run(x0))
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(run(x0))
-            best = min(best, time.perf_counter() - t0)
-        t_per_elem = best / elems
+        t_step = slope_time(body) / elems      # per element per chain step
         if name == "cheap":
-            t_cheap_per_elem = t_per_elem / n_t       # per single cheap op
+            t_cheap_per_elem = t_step / n_t    # per single cheap op
             rates["cheap"] = 1.0 / t_cheap_per_elem
             _trace(f"cheap: {rates['cheap']/1e9:.1f} Gelem/s")
             continue
-        t_corr = max(t_per_elem - n_c * t_cheap_per_elem,
-                     0.25 * t_per_elem)
+        t_corr = max(t_step - n_c * t_cheap_per_elem, 0.2 * t_step)
         rates[name] = 1.0 / t_corr
         _trace(f"{name}: {rates[name]/1e9:.2f} Gelem/s "
-               f"(raw {1.0/t_per_elem/1e9:.2f})")
+               f"(raw {1.0/t_step/1e9:.2f})")
     return rates
 
 
