@@ -74,6 +74,7 @@ def hmc_chain_u1_fused(
     beta: float,
     num_leapfrog: int,
     num_samples: int,
+    hop: bool = False,
 ):
     """U(1) HMC chain on the fused Pallas leapfrog kernel (TPU hot path).
 
@@ -81,28 +82,46 @@ def hmc_chain_u1_fused(
     (T, B), charge_trace (T, B), accept_probs (T, B))`` — the whole chain
     runs inside ONE kernel with the state VMEM-resident
     (``ops/leapfrog.py``; measured 2.5x the XLA scan form at 2048 chains on
-    the v5e).  Falls back to the XLA scan off-TPU.
+    the v5e).  ``hop=True`` appends one exact instanton hop per transition
+    (``dynamics/topo.py`` semantics; near-free in-kernel — the winning
+    topological-channel sampler at its fastest implementation tier).
+    Falls back to the XLA scan off-TPU.
     """
+    from l2hmc_tpu.dynamics import topo
     from l2hmc_tpu.lattice import u1
     from l2hmc_tpu.ops.leapfrog import hmc_chain_pallas
 
     if jax.default_backend() == "tpu":
         try:
             return hmc_chain_pallas(
-                links, key, eps, beta, num_leapfrog, num_samples)
+                links, key, eps, beta, num_leapfrog, num_samples, hop=hop)
         except ValueError:
             pass  # chain state too large for VMEM -> XLA scan below
     b, lt, lx, _ = links.shape
     shape = u1.LatticeShape(lt, lx)
     pot = u1.make_potential_fn(shape)
-    xs, probs = hmc_chain(pot, links.reshape(b, -1), beta, key, eps,
-                          num_leapfrog, num_samples, wrap_fn=u1.wrap)
-    states = xs.reshape(num_samples * b, lt, lx, 2)
-    plaqs = u1.avg_plaquette(states)
-    charges = jnp.round(u1.topological_charge(states))
-    return (xs[-1].reshape(b, lt, lx, 2),
-            plaqs.reshape(num_samples, b),
-            charges.reshape(num_samples, b), probs)
+    if not hop:
+        xs, probs = hmc_chain(pot, links.reshape(b, -1), beta, key, eps,
+                              num_leapfrog, num_samples, wrap_fn=u1.wrap)
+        states = xs.reshape(num_samples * b, lt, lx, 2)
+        plaqs = u1.avg_plaquette(states)
+        charges = jnp.round(u1.topological_charge(states))
+        return (xs[-1].reshape(b, lt, lx, 2),
+                plaqs.reshape(num_samples, b),
+                charges.reshape(num_samples, b), probs)
+
+    def body(x, k):
+        k1, k2 = jax.random.split(k)
+        out = hmc_transition(pot, x, beta, k1, eps, num_leapfrog)
+        h = topo.instanton_hop(u1.wrap(out.x_out), beta, k2, shape)
+        st = u1.to_links(h.x_out, shape)
+        return h.x_out, (u1.avg_plaquette(st),
+                         jnp.round(u1.topological_charge(st)),
+                         out.accept_prob)
+
+    x_last, (plaqs, charges, probs) = jax.lax.scan(
+        body, links.reshape(b, -1), jax.random.split(key, num_samples))
+    return (x_last.reshape(b, lt, lx, 2), plaqs, charges, probs)
 
 
 def hmc_chain(

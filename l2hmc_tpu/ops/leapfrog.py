@@ -92,18 +92,78 @@ def _wrap(x):
     return x - _TWO_PI * jnp.floor((x + np.pi) / _TWO_PI)
 
 
-def _potential_and_sinp(y0, y1, lx, s_col, roll):
-    """Plaquette-field stats in one pass: potential, sine field, and the
-    (unrounded) topological charge ``Q = sum(wrap(P)) / 2pi``
-    (``lattice/u1.py topological_charge``; the wrap costs two elementwise
-    ops on the P already in hand)."""
+def _potential_fields(y0, y1, lx, s_col, roll):
+    """Plaquette-field stats in one pass: potential, sine AND cosine
+    fields, and the (unrounded) topological charge ``Q = sum(wrap(P)) /
+    2pi`` (``lattice/u1.py topological_charge``).  The cosine field is
+    the hop-chain carry (see :func:`_hop_math`); plain chains drop it."""
     p = _plaq_flat(y0, y1, lx, s_col, roll)
     chg = jnp.sum(_wrap(p), axis=1) * (1.0 / _TWO_PI)
-    return jnp.sum(1.0 - jnp.cos(p), axis=1), jnp.sin(p), chg
+    cosp = jnp.cos(p)
+    return jnp.sum(1.0 - cosp, axis=1), jnp.sin(p), cosp, chg
+
+
+def _potential_and_sinp(y0, y1, lx, s_col, roll):
+    """Back-compat 3-tuple form of :func:`_potential_fields`."""
+    pot, sinp, _, chg = _potential_fields(y0, y1, lx, s_col, roll)
+    return pot, sinp, chg
+
+
+def _winding_flat(rows, d, lt, lx):
+    """Flat winding-1 field halves ``(rows, d)`` (dynamics/topo.py
+    winding_field, lane layout): ``w1 = delta * t``; ``w0`` nonzero only
+    on the seam row ``t = lt-1`` where it is ``-delta * lt * s``.  Pure
+    iota arithmetic — computable inside the kernel, f32-exact (integer
+    values < 2^24)."""
+    delta0 = _TWO_PI / d
+    i_f = jax.lax.broadcasted_iota(jnp.float32, (rows, d), 1)
+    s_f = i_f - lx * jnp.floor(i_f * (1.0 / lx))
+    t_f = (i_f - s_f) * (1.0 / lx)
+    w1 = delta0 * t_f
+    w0 = jnp.where(t_f == float(lt - 1), -delta0 * lt * s_f,
+                   jnp.zeros_like(s_f))
+    return w0, w1
+
+
+def _hop_math(x0, x1, pot, sinp, cosp, chg, nu, u_h, beta, w0f, w1f):
+    """One exact instanton hop on carried plaquette fields — NO plaquette
+    pass (dynamics/topo.py semantics, fused form).
+
+    Everything the Metropolis test needs is already in hand: with the
+    uniform shift ``delta = 2 pi nu / d`` (mod 2 pi at the seam corner),
+    ``dS = (1 - cos d0)(d - pot) + nu sin d0 sum(sinp)``.  On accept the
+    links shift by ``nu w`` and the carried fields rotate in closed form:
+    ``sin' = sin cos d + cos sin d``, ``cos' = cos cos d - sin sin d``,
+    ``pot' = pot + dS``, and the charge updates by ``nu`` minus the exact
+    count of plaquettes pushed across the +-pi branch cut
+    (``cos P < -cos d0`` on the ``nu``-side half-plane).
+    """
+    d = x0.shape[1]
+    cd = float(np.cos(_TWO_PI / d))
+    sd = float(np.sin(_TWO_PI / d))
+    ds = (1.0 - cd) * (d - pot) + nu * sd * jnp.sum(sinp, axis=1)
+    prob = jnp.exp(jnp.minimum(-beta * ds, 0.0))
+    prob = jnp.where(jnp.isfinite(prob), prob, jnp.zeros_like(prob))
+    acc = (u_h < prob).astype(x0.dtype)
+    an = acc * nu                                # signed accepted winding
+    an_col = an[:, None]
+    x0 = _wrap(x0 + an_col * w0f)
+    x1 = _wrap(x1 + an_col * w1f)
+    cda = 1.0 + acc * (cd - 1.0)                 # cos(delta*|an|)
+    sda = an * sd                                # sin(delta*an)
+    sinp_new = sinp * cda[:, None] + cosp * sda[:, None]
+    cosp_new = cosp * cda[:, None] - sinp * sda[:, None]
+    pot_new = pot + acc * ds
+    n_b = jnp.sum(
+        ((cosp < -cd) & (nu[:, None] * sinp >= 0.0)).astype(x0.dtype),
+        axis=1)
+    chg_new = chg + an * (1.0 - n_b)
+    return x0, x1, prob, pot_new, sinp_new, cosp_new, chg_new
 
 
 def _transition_math(x0, x1, v0, v1, u, eps, beta, num_leapfrog, lx,
-                     s_col, roll, pot0=None, sinp=None, chg0=None):
+                     s_col, roll, pot0=None, sinp=None, chg0=None,
+                     cosp=None):
     """One full HMC transition on flat link arrays; pure function of its
     inputs, usable inside the kernel and in the pure-JAX reference twin.
 
@@ -112,26 +172,31 @@ def _transition_math(x0, x1, v0, v1, u, eps, beta, num_leapfrog, lx,
     the end of the previous transition's accept step — carrying them saves
     one of the K+1 plaquette+trig evaluations per transition; the carried
     values are bit-identical to recomputation, they were produced by the
-    same ops at the same point).
+    same ops at the same point).  ``cosp`` additionally carries the cosine
+    field for hop chains (:func:`_hop_math`); when given the return tuple
+    grows by ``cosp_out``.
 
     Returns ``(x0', x1', accept_prob, avg_plaq_of_output, pot_out,
-    sinp_out, chg_out)``.
+    sinp_out, chg_out[, cosp_out])``.
     """
     n_plaq = x0.shape[1]
+    track_cosp = cosp is not None
 
     if pot0 is None:
-        pot0, sinp, chg0 = _potential_and_sinp(x0, x1, lx, s_col, roll)
+        pot0, sinp, cosp0, chg0 = _potential_fields(x0, x1, lx, s_col, roll)
+        if track_cosp:
+            cosp = cosp0
     ke0 = 0.5 * (jnp.sum(v0 * v0, axis=1) + jnp.sum(v1 * v1, axis=1))
 
     g0, g1 = _grad_flat(sinp, lx, s_col, roll)
     w0 = v0 - 0.5 * eps * beta * g0
     w1 = v1 - 0.5 * eps * beta * g1
     y0, y1 = x0, x1
-    pot1, sinp1, chg1 = pot0, sinp, chg0  # overwritten in the loop
+    pot1, sinp1, cosp1, chg1 = pot0, sinp, cosp, chg0  # overwritten in loop
     for k in range(num_leapfrog):
         y0 = _wrap(y0 + eps * w0)
         y1 = _wrap(y1 + eps * w1)
-        pot1, sinp1, chg1 = _potential_and_sinp(y0, y1, lx, s_col, roll)
+        pot1, sinp1, cosp1, chg1 = _potential_fields(y0, y1, lx, s_col, roll)
         g0, g1 = _grad_flat(sinp1, lx, s_col, roll)
         c = eps if k < num_leapfrog - 1 else 0.5 * eps
         w0 = w0 - c * beta * g0
@@ -151,6 +216,9 @@ def _transition_math(x0, x1, v0, v1, u, eps, beta, num_leapfrog, lx,
     sinp_out = acc_col * sinp1 + (1.0 - acc_col) * sinp
     chg_out = acc * chg1 + (1.0 - acc) * chg0
     avg_plaq = 1.0 - pot_out / n_plaq
+    if track_cosp:
+        cosp_out = acc_col * cosp1 + (1.0 - acc_col) * cosp
+        return x0, x1, prob, avg_plaq, pot_out, sinp_out, chg_out, cosp_out
     return x0, x1, prob, avg_plaq, pot_out, sinp_out, chg_out
 
 
@@ -159,10 +227,13 @@ def _transition_math(x0, x1, v0, v1, u, eps, beta, num_leapfrog, lx,
 # ---------------------------------------------------------------------------
 
 
-def hmc_chain_reference(links, v0s, v1s, us, eps, beta, num_leapfrog):
+def hmc_chain_reference(links, v0s, v1s, us, eps, beta, num_leapfrog,
+                        hop_arrays=None):
     """Run ``N = v0s.shape[0]`` transitions with injected randomness.
 
     ``links (B, Lt, Lx, 2)``; ``v0s/v1s (N, B, Lt*Lx)``; ``us (N, B)``.
+    ``hop_arrays=(nus, uhs)`` (each ``(N, B)``, nus in {+1,-1}) appends one
+    exact instanton hop (:func:`_hop_math`) after every transition.
     Returns ``(links_out, plaq_trace (N, B), charge_trace (N, B),
     prob_trace (N, B))``; charges are rounded to integer sectors.
     """
@@ -173,18 +244,36 @@ def hmc_chain_reference(links, v0s, v1s, us, eps, beta, num_leapfrog):
     x0 = links[..., 0].reshape(b, d)
     x1 = links[..., 1].reshape(b, d)
 
-    pot, sinp, chg = _potential_and_sinp(x0, x1, lx, s_col, roll)
+    pot, sinp, cosp, chg = _potential_fields(x0, x1, lx, s_col, roll)
 
-    def body(carry, rand):
-        x0, x1, pot, sinp, chg = carry
-        v0, v1, u = rand
-        x0, x1, prob, plaq, pot, sinp, chg = _transition_math(
-            x0, x1, v0, v1, u, eps, beta, num_leapfrog, lx, s_col, roll,
-            pot0=pot, sinp=sinp, chg0=chg)
-        return (x0, x1, pot, sinp, chg), (plaq, chg, prob)
+    if hop_arrays is None:
+        def body(carry, rand):
+            x0, x1, pot, sinp, chg = carry
+            v0, v1, u = rand
+            x0, x1, prob, plaq, pot, sinp, chg = _transition_math(
+                x0, x1, v0, v1, u, eps, beta, num_leapfrog, lx, s_col, roll,
+                pot0=pot, sinp=sinp, chg0=chg)
+            return (x0, x1, pot, sinp, chg), (plaq, chg, prob)
 
-    (x0, x1, _, _, _), (plaqs, chgs, probs) = jax.lax.scan(
-        body, (x0, x1, pot, sinp, chg), (v0s, v1s, us))
+        (x0, x1, _, _, _), (plaqs, chgs, probs) = jax.lax.scan(
+            body, (x0, x1, pot, sinp, chg), (v0s, v1s, us))
+    else:
+        nus, uhs = hop_arrays
+        w0f, w1f = _winding_flat(b, d, lt, lx)
+
+        def body(carry, rand):
+            x0, x1, pot, sinp, cosp, chg = carry
+            v0, v1, u, nu, uh = rand
+            x0, x1, prob, plaq, pot, sinp, chg, cosp = _transition_math(
+                x0, x1, v0, v1, u, eps, beta, num_leapfrog, lx, s_col, roll,
+                pot0=pot, sinp=sinp, chg0=chg, cosp=cosp)
+            x0, x1, _, pot, sinp, cosp, chg = _hop_math(
+                x0, x1, pot, sinp, cosp, chg, nu, uh, beta, w0f, w1f)
+            plaq = 1.0 - pot / d
+            return (x0, x1, pot, sinp, cosp, chg), (plaq, chg, prob)
+
+        (x0, x1, _, _, _, _), (plaqs, chgs, probs) = jax.lax.scan(
+            body, (x0, x1, pot, sinp, cosp, chg), (v0s, v1s, us, nus, uhs))
     out = jnp.stack([x0.reshape(b, lt, lx), x1.reshape(b, lt, lx)], axis=-1)
     return out, plaqs, jnp.round(chgs), probs
 
@@ -218,7 +307,7 @@ def _normal_pair(shape):
 
 
 def _build_chain_kernel(lt, lx, num_leapfrog, num_transitions, tile_b,
-                        rand, interpret):
+                        rand, interpret, hop=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -237,11 +326,13 @@ def _build_chain_kernel(lt, lx, num_leapfrog, num_transitions, tile_b,
         eps = scal_ref[0]
         beta = scal_ref[1]
         s_col = (jax.lax.broadcasted_iota(jnp.int32, (tile_b, d), 1) % lx)
+        if hop:
+            w0f, w1f = _winding_flat(tile_b, d, lt, lx)
 
         def step(t, carry):
             # pot/chg are carried as (tile_b, 1): Mosaic cannot lay out
             # rank-1 arrays in a fori_loop carry (layout_rank check failure)
-            x0, x1, pot2, sinp, chg2 = carry
+            x0, x1, pot2, sinp, cosp, chg2 = carry
             if rand == "prng":
                 # Box-Muller cos/sin halves of ONE pair are exactly
                 # independent standard normals — one pair serves both
@@ -250,24 +341,49 @@ def _build_chain_kernel(lt, lx, num_leapfrog, num_transitions, tile_b,
                 ubits = pltpu.bitcast(
                     pltpu.prng_random_bits((tile_b, d)), jnp.uint32)
                 u = _uniform_from_bits(ubits)[:, 0]
+                if hop:
+                    hbits = pltpu.bitcast(
+                        pltpu.prng_random_bits((tile_b, d)), jnp.uint32)
+                    nu = ((hbits[:, 0] & 1).astype(jnp.int32) * 2
+                          ).astype(jnp.float32) - 1.0
+                    uh = _uniform_from_bits(hbits)[:, 1]
             else:
-                v0s_ref, v1s_ref, us_ref = rand_refs
+                if hop:
+                    v0s_ref, v1s_ref, us_ref, nus_ref, uhs_ref = rand_refs
+                    nu = nus_ref[t]
+                    uh = uhs_ref[t]
+                else:
+                    v0s_ref, v1s_ref, us_ref = rand_refs
                 v0 = v0s_ref[t]
                 v1 = v1s_ref[t]
                 u = us_ref[t]
-            x0, x1, prob, plaq, pot, sinp, chg = _transition_math(
-                x0, x1, v0, v1, u, eps, beta, num_leapfrog, lx, s_col, roll,
-                pot0=pot2[:, 0], sinp=sinp, chg0=chg2[:, 0])
+            if hop:
+                x0, x1, prob, plaq, pot, sinp, chg, cosp = _transition_math(
+                    x0, x1, v0, v1, u, eps, beta, num_leapfrog, lx, s_col,
+                    roll, pot0=pot2[:, 0], sinp=sinp, chg0=chg2[:, 0],
+                    cosp=cosp)
+                x0, x1, _, pot, sinp, cosp, chg = _hop_math(
+                    x0, x1, pot, sinp, cosp, chg, nu, uh, beta, w0f, w1f)
+                plaq = 1.0 - pot / d
+            else:
+                x0, x1, prob, plaq, pot, sinp, chg = _transition_math(
+                    x0, x1, v0, v1, u, eps, beta, num_leapfrog, lx, s_col,
+                    roll, pot0=pot2[:, 0], sinp=sinp, chg0=chg2[:, 0])
             plaq_ref[t, :] = plaq
             chg_ref[t, :] = chg
             prob_ref[t, :] = prob
-            return (x0, x1, pot[:, None], sinp, chg[:, None])
+            return (x0, x1, pot[:, None], sinp, cosp, chg[:, None])
 
-        pot0, sinp0, chg0 = _potential_and_sinp(x0_ref[:], x1_ref[:], lx,
-                                                s_col, roll)
-        x0, x1, _, _, _ = jax.lax.fori_loop(
+        pot0, sinp0, cosp0, chg0 = _potential_fields(
+            x0_ref[:], x1_ref[:], lx, s_col, roll)
+        if not hop:
+            # cosp rides the carry only for hop chains; a (tile_b, 1)
+            # placeholder keeps one carry structure for both modes
+            cosp0 = jnp.zeros((tile_b, 1), jnp.float32)
+        x0, x1, _, _, _, _ = jax.lax.fori_loop(
             0, num_transitions, step,
-            (x0_ref[:], x1_ref[:], pot0[:, None], sinp0, chg0[:, None]))
+            (x0_ref[:], x1_ref[:], pot0[:, None], sinp0, cosp0,
+             chg0[:, None]))
         x0_out[:] = x0
         x1_out[:] = x1
 
@@ -275,6 +391,13 @@ def _build_chain_kernel(lt, lx, num_leapfrog, num_transitions, tile_b,
         def kernel(seed_ref, scal_ref, x0_ref, x1_ref,
                    x0_out, x1_out, plaq_ref, chg_ref, prob_ref):
             _body(seed_ref, scal_ref, x0_ref, x1_ref, None,
+                  x0_out, x1_out, plaq_ref, chg_ref, prob_ref)
+    elif hop:
+        def kernel(seed_ref, scal_ref, x0_ref, x1_ref, v0s_ref, v1s_ref,
+                   us_ref, nus_ref, uhs_ref,
+                   x0_out, x1_out, plaq_ref, chg_ref, prob_ref):
+            _body(seed_ref, scal_ref, x0_ref, x1_ref,
+                  (v0s_ref, v1s_ref, us_ref, nus_ref, uhs_ref),
                   x0_out, x1_out, plaq_ref, chg_ref, prob_ref)
     else:
         def kernel(seed_ref, scal_ref, x0_ref, x1_ref, v0s_ref, v1s_ref,
@@ -294,6 +417,8 @@ def _build_chain_kernel(lt, lx, num_leapfrog, num_transitions, tile_b,
                                   lambda i: (0, i, 0),
                                   memory_space=pltpu.VMEM)
         in_specs += [rand_state, rand_state, trace_spec]
+        if hop:
+            in_specs += [trace_spec, trace_spec]
 
     def call(b, x0, x1, seed, scal, *rand_arrays):
         return pl.pallas_call(
@@ -320,9 +445,9 @@ def _build_chain_kernel(lt, lx, num_leapfrog, num_transitions, tile_b,
 
 @functools.lru_cache(maxsize=None)
 def _chain_kernel_for(lt, lx, num_leapfrog, num_transitions, tile_b,
-                      rand, interpret):
+                      rand, interpret, hop=False):
     return _build_chain_kernel(lt, lx, num_leapfrog, num_transitions,
-                               tile_b, rand, interpret)
+                               tile_b, rand, interpret, hop)
 
 
 def hmc_chain_pallas(
@@ -334,7 +459,8 @@ def hmc_chain_pallas(
     num_transitions: int,
     tile_b: int = 0,
     interpret: bool = False,
-    rand_arrays: Tuple[jax.Array, jax.Array, jax.Array] | None = None,
+    rand_arrays=None,
+    hop: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Run ``num_transitions`` fused U(1) HMC transitions on-chip.
 
@@ -344,9 +470,15 @@ def hmc_chain_pallas(
     each transition's OUTPUT state (free: the accept step already holds
     them); charges are rounded to integer sectors.
 
-    ``rand_arrays=(v0s, v1s, us)`` switches to injected randomness
-    (exactness tests vs :func:`hmc_chain_reference`); default draws momenta
-    and accept uniforms with the in-kernel PRNG seeded from ``key``.
+    ``hop=True`` appends one exact instanton hop (dynamics/topo.py, fused
+    :func:`_hop_math` form) after every transition — near-free inside the
+    kernel: the Metropolis dS comes from the carried potential/sine sums
+    and the accepted shift updates the carried fields in closed form, so
+    the topological channel unfreezes at ~5% of the transition's cost.
+
+    ``rand_arrays=(v0s, v1s, us[, nus, uhs])`` switches to injected
+    randomness (exactness tests vs :func:`hmc_chain_reference`); default
+    draws everything with the in-kernel PRNG seeded from ``key``.
     """
     b, lt, lx, _ = links.shape
     d = lt * lx
@@ -357,7 +489,8 @@ def hmc_chain_pallas(
         # double-buffered).  Budget ~12 MB of the 16 MB VMEM.  The trace
         # blocks make tile_b a lane dim, so it must be a multiple of 128
         # (or the full batch) for Mosaic.
-        per_row = 4 * (17 * d + 6 * num_transitions)
+        rows = 20 if hop else 17   # hop carries cosp + the winding halves
+        per_row = 4 * (rows * d + (8 if hop else 6) * num_transitions)
         tile_b = max(8, min(b, (8 << 20) // per_row))
         if tile_b < b:
             tile_b = max(128, (tile_b // 128) * 128)
@@ -367,7 +500,8 @@ def hmc_chain_pallas(
     # b > tile_b, so very large lattices / long traces can exceed the
     # ~16 MB budget.  Callers (hmc_chain_u1_fused) catch this and fall
     # back to the XLA scan path.
-    est = tile_b * 4 * (17 * d + 6 * num_transitions)
+    est = tile_b * 4 * ((20 if hop else 17) * d
+                        + (8 if hop else 6) * num_transitions)
     if est > (14 << 20):
         raise ValueError(
             f"fused leapfrog chain would need ~{est >> 20} MB of VMEM "
@@ -376,7 +510,7 @@ def hmc_chain_pallas(
 
     rand = "input" if rand_arrays is not None else "prng"
     call = _chain_kernel_for(lt, lx, num_leapfrog, num_transitions, tile_b,
-                             rand, interpret)
+                             rand, interpret, hop)
 
     x0 = links[..., 0].reshape(b, d).astype(jnp.float32)
     x1 = links[..., 1].reshape(b, d).astype(jnp.float32)
@@ -385,9 +519,10 @@ def hmc_chain_pallas(
     scal = jnp.asarray([eps, beta], jnp.float32)
     extra = ()
     if rand == "input":
-        v0s, v1s, us = rand_arrays
-        extra = (v0s.astype(jnp.float32), v1s.astype(jnp.float32),
-                 us.astype(jnp.float32))
+        extra = tuple(a.astype(jnp.float32) for a in rand_arrays)
+        if hop and len(extra) != 5:
+            raise ValueError("hop=True with injected randomness needs "
+                             "(v0s, v1s, us, nus, uhs)")
     x0, x1, plaqs, chgs, probs = call(b, x0, x1, seed, scal, *extra)
     out = jnp.stack([x0.reshape(b, lt, lx), x1.reshape(b, lt, lx)], axis=-1)
     return out, plaqs, jnp.round(chgs), probs

@@ -108,3 +108,67 @@ def test_prng_mode_physics_tpu(key):
     exact = float(u1.u1_plaq_exact(beta))
     assert abs(measured - exact) < 0.03, (measured, exact)
     assert float(jnp.mean(probs)) > 0.5
+
+
+def test_hop_kernel_matches_reference_twin(key):
+    """Fused HMC+instanton-hop chain: kernel vs twin, bit-level."""
+    n, b, lt, lx = 4, 8, 4, 4
+    links, v0s, v1s, us = _rand_inputs(key, n, b, lt, lx)
+    k5, k6 = jax.random.split(jax.random.fold_in(key, 5))
+    nus = jax.random.rademacher(k5, (n, b)).astype(jnp.float32)
+    uhs = jax.random.uniform(k6, (n, b))
+    out_k, plaq_k, chg_k, prob_k = hmc_chain_pallas(
+        links, key, eps=0.1, beta=2.0, num_leapfrog=3, num_transitions=n,
+        tile_b=4, interpret=True, rand_arrays=(v0s, v1s, us, nus, uhs),
+        hop=True)
+    out_r, plaq_r, chg_r, prob_r = hmc_chain_reference(
+        links, v0s, v1s, us, eps=0.1, beta=2.0, num_leapfrog=3,
+        hop_arrays=(nus, uhs))
+    np.testing.assert_allclose(out_k, out_r, atol=1e-5)
+    np.testing.assert_allclose(plaq_k, plaq_r, atol=1e-5)
+    np.testing.assert_allclose(chg_k, chg_r, atol=1e-5)
+    np.testing.assert_allclose(prob_k, prob_r, atol=1e-5)
+
+
+def test_hop_twin_carried_fields_match_recomputation(key):
+    """The hop's closed-form field rotations (sin'/cos'/pot'/chg') must
+    equal a fresh plaquette-field evaluation of the shifted state —
+    otherwise subsequent transitions run on a corrupted carry."""
+    from l2hmc_tpu.ops.leapfrog import (
+        _hop_math, _potential_fields, _winding_flat,
+    )
+    import functools
+
+    b, lt, lx = 8, 4, 6
+    d = lt * lx
+    links = jax.random.uniform(key, (b, lt, lx, 2), minval=-np.pi,
+                               maxval=np.pi)
+    x0 = links[..., 0].reshape(b, d)
+    x1 = links[..., 1].reshape(b, d)
+    s_col = (jax.lax.broadcasted_iota(jnp.int32, (b, d), 1) % lx)
+    roll = functools.partial(jnp.roll, axis=1)
+    pot, sinp, cosp, chg = _potential_fields(x0, x1, lx, s_col, roll)
+    nu = jnp.array([1.0, -1.0] * 4)
+    uh = jnp.zeros((b,))            # force accept
+    w0f, w1f = _winding_flat(b, d, lt, lx)
+    x0n, x1n, prob, potn, sinpn, cospn, chgn = _hop_math(
+        x0, x1, pot, sinp, cosp, chg, nu, uh, 0.0, w0f, w1f)
+    pot2, sinp2, cosp2, chg2 = _potential_fields(x0n, x1n, lx, s_col, roll)
+    np.testing.assert_allclose(potn, pot2, rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(sinpn, sinp2, atol=1e-5)
+    np.testing.assert_allclose(cospn, cosp2, atol=1e-5)
+    np.testing.assert_allclose(chgn, chg2, atol=1e-3)
+
+
+def test_winding_flat_matches_topo_module():
+    from l2hmc_tpu.dynamics import topo
+    from l2hmc_tpu.ops.leapfrog import _winding_flat
+
+    lt, lx = 6, 4
+    shape = u1.LatticeShape(lt, lx)
+    w = np.asarray(topo.winding_field(shape, 1)).reshape(lt, lx, 2)
+    w0f, w1f = _winding_flat(1, lt * lx, lt, lx)
+    np.testing.assert_allclose(np.asarray(w0f).reshape(lt, lx), w[..., 0],
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(w1f).reshape(lt, lx), w[..., 1],
+                               atol=1e-6)
