@@ -140,6 +140,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(reference _create_summaries, gauge_model.py:853-886)")
     p.add_argument("--profile", action="store_true",
                    help="jax.profiler trace of steps 10-20")
+    p.add_argument("--profile_every", type=int, default=0,
+                   help="with --profile: re-trace one chunk every N "
+                        "logging chunks into timeline_<step>/ dirs — the "
+                        "reference's per-logging-step Chrome-trace "
+                        "timelines (gauge_model.py:1250-1265)")
     return p
 
 
@@ -282,15 +287,23 @@ def main(argv=None):
     try:
         for c in range(n_chunks):
             key, sub = jax.random.split(key)
-            if args.profile and c == 0:
-                with jax.profiler.trace(str(run_dir / "profile")):
+            trace_now = args.profile and (
+                c == 0 or (args.profile_every > 0
+                           and c % args.profile_every == 0))
+            if trace_now:
+                # recurring timelines land in their own per-step dirs
+                # (reference timeline_<step>.json, gauge_model.py:1250-1265)
+                tdir = run_dir / ("profile" if c == 0
+                                  else f"timeline_{int(state.step)}")
+                with jax.profiler.trace(str(tdir)):
                     state, metrics = train_chunk(state, sub)
                     jax.block_until_ready(state.x)
                 # reference parity: dump the op-view digest right after the
                 # traced window (gauge_model.py:1048-1071)
                 from l2hmc_tpu.analysis.profile_digest import write_digest
 
-                digest = write_digest(run_dir / "profile", run_dir)
+                digest = write_digest(
+                    tdir, run_dir if c == 0 else tdir)
                 if digest is not None:
                     log(f"profile digest: {digest}")
             else:
