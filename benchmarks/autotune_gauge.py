@@ -51,6 +51,10 @@ def main(argv=None):
     p.add_argument("--l2hmc_k_grid", default="2,3,4,5")
     p.add_argument("--probe_train_steps", type=int, default=2000)
     p.add_argument("--probe_seeds", type=int, default=1)
+    p.add_argument("--lr_init", type=float, default=1e-3,
+                   help="probe-training lr (large volumes may need 1e-4 "
+                        "for dense-trunk archs; the local arch is "
+                        "fan-in-bounded and usually keeps the default)")
     p.add_argument("--refine", action="store_true",
                    help="second +-10%% eps pass at the winning K")
     p.add_argument("--train_steps", type=int, default=12000,
@@ -74,7 +78,7 @@ def main(argv=None):
         merge_v_halves=True,
         # volume-scaled starting eps for the DA search (cli resolve_eps)
         eps_init=0.35 * (64.0 / (args.size * args.size)) ** 0.25,
-        beta_init=2.0, beta_final=args.beta,
+        beta_init=2.0, beta_final=args.beta, lr_init=args.lr_init,
     )
     key = jax.random.PRNGKey(args.seed)
     _trace(f"devices: {jax.devices()}; size {args.size}, "
