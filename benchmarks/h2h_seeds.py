@@ -120,6 +120,11 @@ def main(argv=None):
                         "weight-shared per-link conv family, r4)")
     p.add_argument("--num_filters", type=int, default=8)
     p.add_argument("--lr_init", type=float, default=1e-3)
+    p.add_argument("--train_hops", action="store_true",
+                   help="interleave exact instanton hops into the training "
+                        "chain (sector-complete training states; required "
+                        "at beta >= 5 where annealed chains freeze — "
+                        "GaugeConfig.train_hops)")
     p.add_argument("--num_steps", type=int, default=3)
     p.add_argument("--eps", type=float, default=0.125)
     p.add_argument("--hmc_num_steps", type=int, default=5)
@@ -152,6 +157,7 @@ def main(argv=None):
         num_chains=args.num_chains, num_steps=args.num_steps,
         network_arch=args.arch, num_hidden=args.num_hidden,
         num_filters=args.num_filters, lr_init=args.lr_init,
+        train_hops=args.train_hops,
         merge_v_halves=True, eps_init=args.eps, eps_trainable=False,
         train_steps=args.train_steps, beta_final=args.beta,
         metric=args.metric, charge_reward=args.charge_reward,

@@ -72,6 +72,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bf16", action="store_true", help="bfloat16 network matmuls")
     p.add_argument("--group", default="u1", choices=["u1", "r1"],
                    help="kernel state space: exact torus (u1) or flat+wrap (r1)")
+    p.add_argument("--train_hops", action="store_true",
+                   help="interleave exact instanton hops (dynamics/topo.py) "
+                        "into the training chain: keeps the training-state "
+                        "distribution Q-sector-complete where annealed "
+                        "chains freeze (beta >= 5)")
     p.add_argument("--merge_v_halves", action="store_true",
                    help="merge adjacent momentum half-steps across leapfrog "
                         "steps (K+1 VNet calls instead of 2K; exact kernel, "
@@ -174,7 +179,7 @@ def flags_to_config(a):
         train_steps=a.train_steps, beta_init=a.beta_init,
         beta_final=a.beta_final, group=a.group,
         action=a.action, rect_c1=a.rect_c1,
-        merge_v_halves=a.merge_v_halves,
+        merge_v_halves=a.merge_v_halves, train_hops=a.train_hops,
         eps_warmup_steps=a.eps_warmup_steps,
         eps_target_accept=a.eps_target_accept,
         grad_summaries=a.grad_summaries,
