@@ -116,7 +116,8 @@ def _winding_flat(rows, d, lt, lx):
     iota arithmetic — computable inside the kernel, f32-exact (integer
     values < 2^24)."""
     delta0 = _TWO_PI / d
-    i_f = jax.lax.broadcasted_iota(jnp.float32, (rows, d), 1)
+    # int32 iota + convert: Mosaic lowers no f32 tpu.iota
+    i_f = jax.lax.broadcasted_iota(jnp.int32, (rows, d), 1).astype(jnp.float32)
     s_f = i_f - lx * jnp.floor(i_f * (1.0 / lx))
     t_f = (i_f - s_f) * (1.0 / lx)
     w1 = delta0 * t_f
