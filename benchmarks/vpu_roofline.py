@@ -205,6 +205,79 @@ def measure_rates(b, d, reps=3, m_lo=2048, m_hi=16384):
     return rates
 
 
+def measure_rates_pallas(b, d, reps=3, m_lo=512, m_hi=4096):
+    """Per-class issue rates measured INSIDE a Pallas kernel.
+
+    The production kernel is Mosaic, whose transcendental lowerings differ
+    from XLA's (measured: XLA sin ~42 Gelem/s vs Mosaic far faster — XLA
+    pays a ~20-op range-reduction polynomial), so only Mosaic-measured
+    rates bound a Mosaic kernel.  Same dependency-chain + two-length slope
+    method as :func:`measure_rates`, with the chain running on a
+    VMEM-resident block inside one ``pallas_call`` (the earlier
+    per-primitive Pallas microbenches measured tile-serial LATENCY; a long
+    chain at the production tile shape measures delivered THROUGHPUT in
+    exactly the kernel's execution mode).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    tile = min(b, 256)
+    x0 = jnp.full((b, d), 0.5, jnp.float32)
+    spec = pl.BlockSpec((tile, d), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+    def chain(body, m):
+        def kern(x_ref, o_ref):
+            o_ref[:] = jax.lax.fori_loop(0, m, lambda i, x: body(x),
+                                         x_ref[:])
+
+        @jax.jit
+        def run(x):
+            y = pl.pallas_call(
+                kern, grid=(b // tile,), in_specs=[spec], out_specs=spec,
+                out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32))(x)
+            return jnp.sum(y)
+
+        return run
+
+    def slope_time(body):
+        ts = {}
+        for m in (m_lo, m_hi):
+            run = chain(body, m)
+            float(run(x0))
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                float(run(x0))
+                best = min(best, time.perf_counter() - t0)
+            ts[m] = best
+        return max(ts[m_hi] - ts[m_lo], 1e-9) / (m_hi - m_lo)
+
+    probes = [
+        ("cheap", lambda x: x * 0.9995 + 2e-4, 2, 0),
+        ("exp", lambda x: jnp.exp(-x), 1, 1),
+        ("trig", lambda x: jnp.sin(x + 0.7), 1, 1),
+        ("log", lambda x: jnp.log(x + 1.5), 1, 1),
+        ("div", lambda x: 1.7 / (x + 1.2), 1, 1),
+        ("floor", lambda x: (x - jnp.floor(x * 0.73)) * 0.9 + 0.05, 1, 4),
+    ]
+    elems = b * d
+    rates = {}
+    t_cheap = None
+    for name, body, n_t, n_c in probes:
+        t_step = slope_time(body) / elems
+        if name == "cheap":
+            t_cheap = t_step / n_t
+            rates["cheap"] = 1.0 / t_cheap
+            _trace(f"[mosaic] cheap: {rates['cheap']/1e9:.1f} Gelem/s")
+            continue
+        t_corr = max(t_step - n_c * t_cheap, 0.2 * t_step)
+        rates[name] = 1.0 / t_corr
+        _trace(f"[mosaic] {name}: {rates[name]/1e9:.2f} Gelem/s "
+               f"(raw {1.0/t_step/1e9:.2f})")
+    return rates
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--size", type=int, default=16)
@@ -227,23 +300,28 @@ def main(argv=None):
     _trace(f"hmc counts:     {c_hmc}")
     _trace(f"machinery delta: {delta}")
 
-    rates = measure_rates(b, d)
-    bound_machinery = sum(delta.get(k, 0) / rates[k] for k in rates
-                          if delta.get(k, 0) > 0)
-    bound_ablated = sum(c_abl.get(k, 0) / rates[k] for k in rates
-                        if c_abl.get(k, 0) > 0)
-    bound_hmc = sum(c_hmc.get(k, 0) / rates[k] for k in rates
-                    if c_hmc.get(k, 0) > 0)
+    rates_xla = measure_rates(b, d)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    rates = measure_rates_pallas(b, d) if on_tpu else rates_xla
+
+    def bound(counts):
+        return sum(counts.get(k, 0) / rates[k] for k in rates
+                   if counts.get(k, 0) > 0)
+
+    bound_machinery = bound(delta)
     result = {
         "benchmark": "vpu_roofline",
         "config": {"size": args.size, "chains": b, "K": K},
         "counts_ablated": c_abl,
         "counts_hmc": c_hmc,
         "counts_machinery_delta": delta,
-        "rates_gelem_per_s": {k: round(v / 1e9, 2) for k, v in rates.items()},
+        "rates_gelem_per_s_mosaic": {
+            k: round(v / 1e9, 2) for k, v in rates.items()},
+        "rates_gelem_per_s_xla": {
+            k: round(v / 1e9, 2) for k, v in rates_xla.items()},
         "bound_machinery_us": round(bound_machinery * 1e6, 1),
-        "bound_ablated_us": round(bound_ablated * 1e6, 1),
-        "bound_hmc_us": round(bound_hmc * 1e6, 1),
+        "bound_ablated_us": round(bound(c_abl) * 1e6, 1),
+        "bound_hmc_us": round(bound(c_hmc) * 1e6, 1),
     }
 
     if args.measure_kernel:
