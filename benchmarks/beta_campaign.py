@@ -51,8 +51,24 @@ def main(argv=None):
     p.add_argument("--eval_steps", type=int, default=16000)
     p.add_argument("--eval_chains", type=int, default=2048)
     p.add_argument("--num_hidden", type=int, default=64)
+    p.add_argument("--arch", default="mlp", choices=["mlp", "conv", "local"],
+                   help="conditioner family for the trained cell (local = "
+                        "the weight-shared per-link conv family, r4)")
+    p.add_argument("--num_filters", type=int, default=8)
+    p.add_argument("--lr_init", type=float, default=1e-3)
+    p.add_argument("--num_chains", type=int, default=128)
+    p.add_argument("--train_hops", action="store_true",
+                   help="interleave exact instanton hops into the training "
+                        "chains (probes AND campaign trainings) — the beta>=5 "
+                        "frozen-training-distribution fix")
+    p.add_argument("--hmc_k", type=int, default=0,
+                   help="reuse a previously auto-tuned HMC optimum "
+                        "(skip tune_hmc); 0 = tune cold")
+    p.add_argument("--hmc_eps", type=float, default=0.0)
     p.add_argument("--probe_train_steps", type=int, default=8000)
     p.add_argument("--probe_seeds", type=int, default=2)
+    p.add_argument("--probe_chains", type=int, default=1024)
+    p.add_argument("--therm_sweeps", type=int, default=1500)
     p.add_argument("--hmc_k_grid", default="3,4,5,6,8")
     p.add_argument("--l2hmc_k_grid", default="2,3,4,5")
     p.add_argument("--out", default="")
@@ -66,8 +82,11 @@ def main(argv=None):
 
     _trace(f"devices: {jax.devices()}; size {args.size} beta {args.beta}")
     base = GaugeConfig(
-        time_size=args.size, space_size=args.size, num_chains=128,
-        network_arch="mlp", num_hidden=args.num_hidden, merge_v_halves=True,
+        time_size=args.size, space_size=args.size,
+        num_chains=args.num_chains,
+        network_arch=args.arch, num_hidden=args.num_hidden,
+        num_filters=args.num_filters, lr_init=args.lr_init,
+        train_hops=args.train_hops, merge_v_halves=True,
         eps_init=0.35 * (64.0 / (args.size * args.size)) ** 0.25,
         beta_init=2.0, beta_final=args.beta,
         charge_reward=True, charge_weight=1.0,
@@ -80,18 +99,27 @@ def main(argv=None):
     _trace("thermalized")
 
     t0 = time.perf_counter()
-    hmc_opt = tune_hmc(
-        base, x0, args.beta, jax.random.fold_in(key, 1),
-        k_grid=tuple(int(k) for k in args.hmc_k_grid.split(",")),
-        probe_chains=1024)
-    _trace(f"HMC optimum: K={hmc_opt.num_steps} eps={hmc_opt.eps} "
-           f"acc={hmc_opt.accept:.3f} ({time.perf_counter()-t0:.0f}s)")
+    if args.hmc_k > 0:
+        # reuse a previously auto-tuned optimum (recorded in RESULTS.md /
+        # a prior campaign JSON) — still tuner-produced, just cached
+        hmc_opt = TuneResult(num_steps=args.hmc_k, eps=args.hmc_eps,
+                             score=0.0, accept=0.0, cells=())
+        _trace(f"HMC optimum (cached): K={hmc_opt.num_steps} "
+               f"eps={hmc_opt.eps}")
+    else:
+        hmc_opt = tune_hmc(
+            base, x0, args.beta, jax.random.fold_in(key, 1),
+            k_grid=tuple(int(k) for k in args.hmc_k_grid.split(",")),
+            probe_chains=args.probe_chains)
+        _trace(f"HMC optimum: K={hmc_opt.num_steps} eps={hmc_opt.eps} "
+               f"acc={hmc_opt.accept:.3f} ({time.perf_counter()-t0:.0f}s)")
 
     t0 = time.perf_counter()
     l2_opt = tune_l2hmc(
         base, jax.random.fold_in(key, 2), hmc_opt,
         k_grid=tuple(int(k) for k in args.l2hmc_k_grid.split(",")),
-        probe_train_steps=args.probe_train_steps, probe_chains=1024,
+        probe_train_steps=args.probe_train_steps,
+        probe_chains=args.probe_chains,
         probe_seeds=args.probe_seeds)
     _trace(f"trained cell: K={l2_opt.num_steps} eps={l2_opt.eps} "
            f"({time.perf_counter()-t0:.0f}s)")
@@ -101,7 +129,8 @@ def main(argv=None):
     ref = tune_l2hmc(
         base, jax.random.fold_in(key, 3), anchor,
         k_grid=(l2_opt.num_steps,), eps_grid=(0.9, 1.1),
-        probe_train_steps=args.probe_train_steps, probe_chains=1024,
+        probe_train_steps=args.probe_train_steps,
+        probe_chains=args.probe_chains,
         probe_seeds=args.probe_seeds)
     merged = sorted(l2_opt.cells + ref.cells, key=lambda c: -c["score"])
     k_t, eps_t = merged[0]["K"], merged[0]["eps"]
@@ -115,13 +144,19 @@ def main(argv=None):
         "--train_steps", str(args.train_steps),
         "--eval_steps", str(args.eval_steps),
         "--eval_chains", str(args.eval_chains),
+        "--num_chains", str(args.num_chains),
         "--num_hidden", str(args.num_hidden),
+        "--arch", args.arch, "--num_filters", str(args.num_filters),
+        "--lr_init", str(args.lr_init),
+        "--therm_sweeps", str(args.therm_sweeps),
         "--num_steps", str(k_t), "--eps", str(eps_t),
         "--hmc_num_steps", str(hmc_opt.num_steps),
         "--hmc_eps", str(hmc_opt.eps),
         "--charge_reward", "--eval_init", "metropolis",
         "--out", out_path + ".h2h",
     ]
+    if args.train_hops:
+        h2h_argv.append("--train_hops")
     _trace(f"h2h: {' '.join(h2h_argv)}")
     h2h_seeds.main(h2h_argv)
 
@@ -129,6 +164,8 @@ def main(argv=None):
     result = {
         "benchmark": "beta_campaign",
         "size": args.size, "beta": args.beta,
+        "arch": args.arch, "train_hops": args.train_hops,
+        "lr_init": args.lr_init,
         "hmc_opt": {"K": hmc_opt.num_steps, "eps": hmc_opt.eps,
                     "accept": hmc_opt.accept},
         "trained_cell": {"K": k_t, "eps": eps_t,
