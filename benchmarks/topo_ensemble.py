@@ -99,6 +99,15 @@ def main(argv=None):
                         "so the POOLED tau_int(Q) window stays reliable "
                         "(pooling cuts rho-noise by sqrt(chains))")
     p.add_argument("--no_champion", action="store_true")
+    p.add_argument("--train_champion", action="store_true",
+                   help="when no shipped npz matches this size, train the "
+                        "r3-recipe trained cell inline (e.g. the 32x32 "
+                        "auto-tuned K=4 eps=0.095 cell) so the champ+hop "
+                        "row exists at volume")
+    p.add_argument("--champ_k", type=int, default=4)
+    p.add_argument("--champ_eps", type=float, default=0.095)
+    p.add_argument("--champ_train_steps", type=int, default=12000)
+    p.add_argument("--champ_hidden", type=int, default=64)
     p.add_argument("--out", default="")
     args = p.parse_args(argv)
 
@@ -136,6 +145,27 @@ def main(argv=None):
          hparams),
     ]
     champ = None if args.no_champion else load_champion(args.size)
+    if champ is None and args.train_champion and not args.no_champion:
+        from l2hmc_tpu.train.gauge import make_train_chunk
+
+        tcfg = GaugeConfig(
+            time_size=args.size, space_size=args.size, num_chains=128,
+            num_steps=args.champ_k, network_arch="mlp",
+            num_hidden=args.champ_hidden, merge_v_halves=True,
+            eps_init=args.champ_eps, eps_trainable=False,
+            train_steps=args.champ_train_steps, beta_final=args.beta,
+            charge_reward=True)
+        tkey = jax.random.PRNGKey(11)
+        tstate = init_train_state(tcfg, tkey)
+        tchunk = make_train_chunk(tcfg, 250)
+        kk = tkey
+        t0 = time.time()
+        for _ in range(max(args.champ_train_steps // 250, 1)):
+            kk, sub = jax.random.split(kk)
+            tstate, tm = tchunk(tstate, sub)
+        _trace(f"inline champion trained ({time.time()-t0:.0f}s): end acc "
+               f"{float(np.asarray(tm['accept_prob'])[-1]):.3f}")
+        champ = (tcfg, tstate.params)
     if champ is not None:
         ccfg, cparams = champ
         ccfg = dataclasses.replace(ccfg, num_chains=args.eval_chains)
