@@ -116,6 +116,34 @@ def test_gauge_train_chunk_runs_and_improves(key):
     assert float(jnp.max(jnp.abs(state.x))) <= np.pi + 1e-5
 
 
+def test_train_hops_moves_training_chain_sectors(key):
+    """train_hops=True interleaves the exact instanton hop into the
+    training chain: the chain must visit multiple Q sectors where the
+    plain L2HMC training chain at the same (tiny) depth barely tunnels,
+    and the hop must keep states wrapped/finite (the beta>=5
+    frozen-training-distribution fix, RESULTS.md r4)."""
+    base = GaugeConfig(time_size=4, space_size=4, num_chains=32, num_steps=2,
+                       network_arch="mlp", num_hidden=16, train_steps=60,
+                       beta_init=2.0, beta_final=2.0)
+    charges = {}
+    for hops in (False, True):
+        cfg = dataclasses.replace(base, train_hops=hops)
+        state = init_train_state(cfg, key)
+        chunk = make_train_chunk(cfg, 30)
+        kk = key
+        qs = []
+        for i in range(2):
+            kk, sub = jax.random.split(kk)
+            state, m = chunk(state, sub)
+            qs.append(np.asarray(m["charges2"]))
+        assert np.all(np.isfinite(np.concatenate(qs)))
+        assert float(jnp.max(jnp.abs(state.x))) <= np.pi + 1e-5
+        charges[hops] = float(np.concatenate(qs).mean())
+    # the hop-augmented chain occupies nonzero sectors (mean Q^2 > 0.05);
+    # at 4x4 beta=2 the hop accepts ~50%+ so sector spread is immediate
+    assert charges[True] > 0.05
+
+
 def test_grad_summaries_in_metrics(key):
     """grad_summaries=True surfaces per-variable param/grad stats in the
     train-step metrics (reference gauge_model.py:853-886 parity)."""
