@@ -45,6 +45,11 @@ def main(argv=None):
     p.add_argument("--nt", type=int, default=1500, help="transitions/call")
     p.add_argument("--calls", type=int, default=4, help="timed calls")
     p.add_argument("--therm_sweeps", type=int, default=1500)
+    p.add_argument("--champion", action="store_true",
+                   help="also run the trained champion chain kernel "
+                        "(benchmarks/champion_16x16.npz) plain and with the "
+                        "fused hop (ops/l2hmc_kernel.py hop=True) — the "
+                        "best-vs-best topological sampler")
     p.add_argument("--out", default="")
     args = p.parse_args(argv)
 
@@ -65,13 +70,12 @@ def main(argv=None):
     _trace("thermalized")
 
     res = {}
-    for tag, hop in (("plain", False), ("hop", True)):
-        run = jax.jit(lambda l, k, h=hop: hmc_chain_pallas(
-            l, k, args.eps, args.beta, args.num_steps, args.nt, hop=h))
+
+    def run_variant(tag, run, nt, calls, k_lf):
         links, pl, ch, pr = run(links0, jax.random.fold_in(key, 7))
         float(jnp.sum(pr))                     # compile + therm
         pls, chs, wall = [], [], 0.0
-        for i in range(args.calls):
+        for i in range(calls):
             t0 = time.perf_counter()
             links, pl, ch, pr = run(links, jax.random.fold_in(key, 100 + i))
             pla = np.asarray(pl)               # drains
@@ -80,8 +84,8 @@ def main(argv=None):
             chs.append(np.asarray(ch)[:, :256])
         pla = np.concatenate(pls)
         cha = np.concatenate(chs)
-        nt_total = args.nt * args.calls
-        lf_rate = nt_total * args.num_steps * args.chains / wall
+        nt_total = nt * calls
+        lf_rate = nt_total * k_lf * args.chains / wall
         tun = float(np.abs(np.diff(cha, axis=0)).mean())
         tau_q, tau_ok = stats.pooled_integrated_time(cha)
         res[tag] = {
@@ -97,6 +101,33 @@ def main(argv=None):
             "q2_mean": round(float((cha ** 2).mean()), 4),
         }
         _trace(f"{tag}: {res[tag]}")
+
+    for tag, hop in (("plain", False), ("hop", True)):
+        run = jax.jit(lambda l, k, h=hop: hmc_chain_pallas(
+            l, k, args.eps, args.beta, args.num_steps, args.nt, hop=h))
+        run_variant(tag, run, args.nt, args.calls, args.num_steps)
+
+    if args.champion:
+        from benchmarks.topo_ensemble import load_champion
+        from l2hmc_tpu.dynamics.l2hmc import get_eps
+        from l2hmc_tpu.ops.l2hmc_kernel import l2hmc_chain_pallas
+        from l2hmc_tpu.train import gauge as G
+
+        champ = load_champion(args.size)
+        if champ is None:
+            _trace("no champion npz for this size; skipping champion tiers")
+        else:
+            ccfg, cparams = champ
+            dyn_cfg, _, _ = G.build_dynamics(ccfg)
+            eps_c = float(get_eps(cparams, dyn_cfg))
+            # trained chain is VMEM-bounded to ~500 transitions/call
+            nt_c = min(args.nt, 500)
+            calls_c = max(1, (args.nt * args.calls) // nt_c)
+            for tag, hop in (("champ", False), ("champ_hop", True)):
+                run = jax.jit(lambda l, k, h=hop: l2hmc_chain_pallas(
+                    l, cparams, k, eps_c, args.beta, ccfg.num_steps, nt_c,
+                    hop=h))
+                run_variant(tag, run, nt_c, calls_c, ccfg.num_steps)
 
     result = {
         "benchmark": "fused_hop",
@@ -118,6 +149,16 @@ def main(argv=None):
             / max(res["plain"]["q_ess_per_s_pooled"], 1e-9), 2),
         **{f"{k}_{tag}": v for tag, r in res.items() for k, v in r.items()},
     }
+    if "champ_hop" in res:
+        result["champ_hop_tunneling_vs_hmc"] = round(
+            res["champ_hop"]["tunneling_per_s"]
+            / max(res["plain"]["tunneling_per_s"], 1e-9), 2)
+        result["champ_hop_q_ess_vs_hmc_pooled"] = round(
+            res["champ_hop"]["q_ess_per_s_pooled"]
+            / max(res["plain"]["q_ess_per_s_pooled"], 1e-9), 2)
+        result["champ_hop_cost_pct"] = round(
+            100.0 * (res["champ_hop"]["us_per_transition"]
+                     / res["champ"]["us_per_transition"] - 1.0), 2)
     out_s = json.dumps(result)
     print(out_s)
     if args.out:

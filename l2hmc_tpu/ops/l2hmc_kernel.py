@@ -43,9 +43,12 @@ import numpy as np
 
 from l2hmc_tpu.ops.leapfrog import (
     _grad_flat,
+    _hop_math,
     _potential_and_sinp,
+    _potential_fields,
     _uniform_from_bits,
     _normal_pair,
+    _winding_flat,
     _wrap,
 )
 
@@ -281,7 +284,7 @@ def _select_mask(masks, idx, K):
 
 def _l2hmc_transition_math(
     x0, x1, v0, v1, dsign, u, W, eps, beta, K, lx, s_col, roll, bounded_q,
-    pot0=None, sinp=None, chg0=None, ablate_nets=False,
+    pot0=None, sinp=None, chg0=None, ablate_nets=False, cosp=None,
 ):
     """One trained-L2HMC transition (merge_v_halves, u1) on flat halves.
 
@@ -289,14 +292,22 @@ def _l2hmc_transition_math(
     the pure-JAX twin.  ``dsign (b,)`` in {+1,-1}; ``u (b,)`` accept
     uniforms; ``W`` a namespace of :data:`WEIGHT_NAMES` arrays.
 
+    ``cosp`` additionally carries the plaquette-cosine field for hop
+    chains (ops/leapfrog.py :func:`_hop_math`); it is free — the cosine is
+    computed inside every potential evaluation anyway — and when given the
+    return tuple grows by ``cosp_out``.
+
     Returns ``(x0', x1', prob, avg_plaq_out, pot_out, sinp_out,
-    chg_out)``.
+    chg_out[, cosp_out])``.
     """
     n_plaq = x0.shape[1]
     d_col = dsign[:, None]
+    track_cosp = cosp is not None
 
     if pot0 is None:
-        pot0, sinp, chg0 = _potential_and_sinp(x0, x1, lx, s_col, roll)
+        pot0, sinp, cosp0, chg0 = _potential_fields(x0, x1, lx, s_col, roll)
+        if track_cosp:
+            cosp = cosp0
     ke0 = 0.5 * (jnp.sum(v0 * v0, axis=1) + jnp.sum(v1 * v1, axis=1))
     h_init = beta * pot0 + ke0
 
@@ -304,7 +315,7 @@ def _l2hmc_transition_math(
     g0, g1 = beta * g0, beta * g1
     y0, y1, w0, w1 = x0, x1, v0, v1
     sumlogdet = jnp.zeros(x0.shape[0], jnp.float32)
-    pot1, sinp1, chg1 = pot0, sinp, chg0
+    pot1, sinp1, cosp1, chg1 = pot0, sinp, cosp, chg0
 
     if ablate_nets:
         # cost-decomposition mode (benchmarks/kernel_decomposition.py):
@@ -408,7 +419,7 @@ def _l2hmc_transition_math(
         y0, y1, sumlogdet = xhalf(y0, y1, w0, w1, 1.0 - hold1_0, 1.0 - hold1_1,
                                   tau_x, sumlogdet)
 
-        pot1, sinp1, chg1 = _potential_and_sinp(y0, y1, lx, s_col, roll)
+        pot1, sinp1, cosp1, chg1 = _potential_fields(y0, y1, lx, s_col, roll)
         g0, g1 = _grad_flat(sinp1, lx, s_col, roll)
         g0, g1 = beta * g0, beta * g1
 
@@ -436,6 +447,9 @@ def _l2hmc_transition_math(
     sinp_out = acc_col * sinp1 + (1.0 - acc_col) * sinp
     chg_out = acc * chg1 + (1.0 - acc) * chg0
     avg_plaq = 1.0 - pot_out / n_plaq
+    if track_cosp:
+        cosp_out = acc_col * cosp1 + (1.0 - acc_col) * cosp
+        return x0, x1, prob, avg_plaq, pot_out, sinp_out, chg_out, cosp_out
     return x0, x1, prob, avg_plaq, pot_out, sinp_out, chg_out
 
 
@@ -445,11 +459,15 @@ def _l2hmc_transition_math(
 
 
 def l2hmc_chain_reference(links, params, v0s, v1s, ds, us, eps, beta,
-                          num_leapfrog, bounded_q=True, precision="f32"):
+                          num_leapfrog, bounded_q=True, precision="f32",
+                          hop_arrays=None):
     """Run ``N`` trained transitions with injected randomness.
 
     ``links (B, Lt, Lx, 2)``; ``v0s/v1s (N, B, Lt*Lx)``; ``ds/us (N, B)``.
-    Same math function as the kernel, jnp.roll edition.  Returns
+    Same math function as the kernel, jnp.roll edition.
+    ``hop_arrays=(nus, uhs)`` (each ``(N, B)``, nus in {+1,-1}) appends one
+    exact instanton hop (ops/leapfrog.py :func:`_hop_math`) after every
+    transition — the trained-kernel edition of the HMC hop chain.  Returns
     ``(links_out, plaq_trace, charge_trace, prob_trace)``.
     """
     b, lt, lx, _ = links.shape
@@ -460,18 +478,39 @@ def l2hmc_chain_reference(links, params, v0s, v1s, ds, us, eps, beta,
     roll = functools.partial(jnp.roll, axis=1)
     x0 = links[..., 0].reshape(b, d)
     x1 = links[..., 1].reshape(b, d)
-    pot, sinp, chg = _potential_and_sinp(x0, x1, lx, s_col, roll)
+    pot, sinp, cosp, chg = _potential_fields(x0, x1, lx, s_col, roll)
 
-    def body(carry, rand):
-        x0, x1, pot, sinp, chg = carry
-        v0, v1, dsg, u = rand
-        x0, x1, prob, plaq, pot, sinp, chg = _l2hmc_transition_math(
-            x0, x1, v0, v1, dsg, u, W, eps, beta, num_leapfrog, lx, s_col,
-            roll, bounded_q, pot0=pot, sinp=sinp, chg0=chg)
-        return (x0, x1, pot, sinp, chg), (plaq, chg, prob)
+    if hop_arrays is None:
+        def body(carry, rand):
+            x0, x1, pot, sinp, chg = carry
+            v0, v1, dsg, u = rand
+            x0, x1, prob, plaq, pot, sinp, chg = _l2hmc_transition_math(
+                x0, x1, v0, v1, dsg, u, W, eps, beta, num_leapfrog, lx,
+                s_col, roll, bounded_q, pot0=pot, sinp=sinp, chg0=chg)
+            return (x0, x1, pot, sinp, chg), (plaq, chg, prob)
 
-    (x0, x1, _, _, _), (plaqs, chgs, probs) = jax.lax.scan(
-        body, (x0, x1, pot, sinp, chg), (v0s, v1s, ds, us))
+        (x0, x1, _, _, _), (plaqs, chgs, probs) = jax.lax.scan(
+            body, (x0, x1, pot, sinp, chg), (v0s, v1s, ds, us))
+    else:
+        nus, uhs = hop_arrays
+        w0f, w1f = _winding_flat(b, d, lt, lx)
+
+        def body(carry, rand):
+            x0, x1, pot, sinp, cosp, chg = carry
+            v0, v1, dsg, u, nu, uh = rand
+            (x0, x1, prob, plaq, pot, sinp, chg,
+             cosp) = _l2hmc_transition_math(
+                x0, x1, v0, v1, dsg, u, W, eps, beta, num_leapfrog, lx,
+                s_col, roll, bounded_q, pot0=pot, sinp=sinp, chg0=chg,
+                cosp=cosp)
+            x0, x1, _, pot, sinp, cosp, chg = _hop_math(
+                x0, x1, pot, sinp, cosp, chg, nu, uh, beta, w0f, w1f)
+            plaq = 1.0 - pot / d
+            return (x0, x1, pot, sinp, cosp, chg), (plaq, chg, prob)
+
+        (x0, x1, _, _, _, _), (plaqs, chgs, probs) = jax.lax.scan(
+            body, (x0, x1, pot, sinp, cosp, chg), (v0s, v1s, ds, us,
+                                                   nus, uhs))
     out = jnp.stack([x0.reshape(b, lt, lx), x1.reshape(b, lt, lx)], axis=-1)
     return out, plaqs, jnp.round(chgs), probs
 
@@ -482,7 +521,7 @@ def l2hmc_chain_reference(links, params, v0s, v1s, ds, us, eps, beta,
 
 
 def _build_kernel(lt, lx, K, num_transitions, tile_b, bounded_q, rand,
-                  interpret, ablate_nets=False):
+                  interpret, ablate_nets=False, hop=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -504,9 +543,11 @@ def _build_kernel(lt, lx, K, num_transitions, tile_b, bounded_q, rand,
         beta = scal_ref[1]
         s_col = (jax.lax.broadcasted_iota(jnp.int32, (tile_b, d), 1) % lx)
         W = SimpleNamespace(**{n: r[:] for n, r in zip(WEIGHT_NAMES, w_refs)})
+        if hop:
+            w0f, w1f = _winding_flat(tile_b, d, lt, lx)
 
         def step(t, carry):
-            x0, x1, pot2, sinp, chg2 = carry
+            x0, x1, pot2, sinp, cosp, chg2 = carry
             if rand == "prng":
                 v0, v1 = _normal_pair((tile_b, d))
                 dbits = pltpu.bitcast(
@@ -518,24 +559,51 @@ def _build_kernel(lt, lx, K, num_transitions, tile_b, bounded_q, rand,
                 ubits = pltpu.bitcast(
                     pltpu.prng_random_bits((tile_b, d)), jnp.uint32)
                 u = _uniform_from_bits(ubits)[:, 0]
+                if hop:
+                    hbits = pltpu.bitcast(
+                        pltpu.prng_random_bits((tile_b, d)), jnp.uint32)
+                    nu = ((hbits[:, 0] & 1).astype(jnp.int32) * 2
+                          ).astype(jnp.float32) - 1.0
+                    uh = _uniform_from_bits(hbits)[:, 1]
             else:
-                v0s_ref, v1s_ref, ds_ref, us_ref = rand_refs
+                if hop:
+                    (v0s_ref, v1s_ref, ds_ref, us_ref, nus_ref,
+                     uhs_ref) = rand_refs
+                    nu = nus_ref[t]
+                    uh = uhs_ref[t]
+                else:
+                    v0s_ref, v1s_ref, ds_ref, us_ref = rand_refs
                 v0, v1 = v0s_ref[t], v1s_ref[t]
                 dsg, u = ds_ref[t], us_ref[t]
-            x0, x1, prob, plaq, pot, sinp, chg = _l2hmc_transition_math(
-                x0, x1, v0, v1, dsg, u, W, eps, beta, K, lx, s_col, roll,
-                bounded_q, pot0=pot2[:, 0], sinp=sinp, chg0=chg2[:, 0],
-                ablate_nets=ablate_nets)
+            if hop:
+                (x0, x1, prob, plaq, pot, sinp, chg,
+                 cosp) = _l2hmc_transition_math(
+                    x0, x1, v0, v1, dsg, u, W, eps, beta, K, lx, s_col,
+                    roll, bounded_q, pot0=pot2[:, 0], sinp=sinp,
+                    chg0=chg2[:, 0], ablate_nets=ablate_nets, cosp=cosp)
+                x0, x1, _, pot, sinp, cosp, chg = _hop_math(
+                    x0, x1, pot, sinp, cosp, chg, nu, uh, beta, w0f, w1f)
+                plaq = 1.0 - pot / d
+            else:
+                x0, x1, prob, plaq, pot, sinp, chg = _l2hmc_transition_math(
+                    x0, x1, v0, v1, dsg, u, W, eps, beta, K, lx, s_col, roll,
+                    bounded_q, pot0=pot2[:, 0], sinp=sinp, chg0=chg2[:, 0],
+                    ablate_nets=ablate_nets)
             plaq_ref[t, :] = plaq
             chg_ref[t, :] = chg
             prob_ref[t, :] = prob
-            return (x0, x1, pot[:, None], sinp, chg[:, None])
+            return (x0, x1, pot[:, None], sinp, cosp, chg[:, None])
 
-        pot0, sinp0, chg0 = _potential_and_sinp(x0_ref[:], x1_ref[:], lx,
-                                                s_col, roll)
-        x0, x1, _, _, _ = jax.lax.fori_loop(
+        pot0, sinp0, cosp0, chg0 = _potential_fields(
+            x0_ref[:], x1_ref[:], lx, s_col, roll)
+        if not hop:
+            # cosp rides the carry only for hop chains; a (tile_b, 1)
+            # placeholder keeps one carry structure for both modes
+            cosp0 = jnp.zeros((tile_b, 1), jnp.float32)
+        x0, x1, _, _, _, _ = jax.lax.fori_loop(
             0, num_transitions, step,
-            (x0_ref[:], x1_ref[:], pot0[:, None], sinp0, chg0[:, None]))
+            (x0_ref[:], x1_ref[:], pot0[:, None], sinp0, cosp0,
+             chg0[:, None]))
         x0_out[:] = x0
         x1_out[:] = x1
 
@@ -544,6 +612,13 @@ def _build_kernel(lt, lx, K, num_transitions, tile_b, bounded_q, rand,
             w_refs = rest[:n_w]
             x0_out, x1_out, plaq_ref, chg_ref, prob_ref = rest[n_w:]
             _body(seed_ref, scal_ref, x0_ref, x1_ref, w_refs, None,
+                  x0_out, x1_out, plaq_ref, chg_ref, prob_ref)
+    elif hop:
+        def kernel(seed_ref, scal_ref, x0_ref, x1_ref, *rest):
+            w_refs = rest[:n_w]
+            rand_refs = rest[n_w:n_w + 6]
+            x0_out, x1_out, plaq_ref, chg_ref, prob_ref = rest[n_w + 6:]
+            _body(seed_ref, scal_ref, x0_ref, x1_ref, w_refs, rand_refs,
                   x0_out, x1_out, plaq_ref, chg_ref, prob_ref)
     else:
         def kernel(seed_ref, scal_ref, x0_ref, x1_ref, *rest):
@@ -573,6 +648,8 @@ def _build_kernel(lt, lx, K, num_transitions, tile_b, bounded_q, rand,
                                       lambda i: (0, i, 0),
                                       memory_space=pltpu.VMEM)
             in_specs += [rand_state, rand_state, trace_spec, trace_spec]
+            if hop:
+                in_specs += [trace_spec, trace_spec]
         return pl.pallas_call(
             kernel,
             interpret=interpret,
@@ -595,9 +672,9 @@ def _build_kernel(lt, lx, K, num_transitions, tile_b, bounded_q, rand,
 
 @functools.lru_cache(maxsize=None)
 def _kernel_for(lt, lx, K, num_transitions, tile_b, bounded_q, rand,
-                interpret, ablate_nets=False):
+                interpret, ablate_nets=False, hop=False):
     return _build_kernel(lt, lx, K, num_transitions, tile_b, bounded_q,
-                         rand, interpret, ablate_nets)
+                         rand, interpret, ablate_nets, hop)
 
 
 def l2hmc_chain_pallas(
@@ -614,6 +691,7 @@ def l2hmc_chain_pallas(
     rand_arrays=None,
     precision: str = "f32",
     ablate_nets: bool = False,
+    hop: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Run ``num_transitions`` fused TRAINED L2HMC transitions on-chip.
 
@@ -622,8 +700,14 @@ def l2hmc_chain_pallas(
     ``(links_out, plaq_trace (N, B), charge_trace (N, B), prob_trace
     (N, B))``; charges are rounded to integer sectors.
 
-    ``rand_arrays=(v0s, v1s, ds, us)`` switches to injected randomness for
-    exactness tests against :func:`l2hmc_chain_reference`.
+    ``rand_arrays=(v0s, v1s, ds, us[, nus, uhs])`` switches to injected
+    randomness for exactness tests against :func:`l2hmc_chain_reference`.
+
+    ``hop=True`` appends one exact instanton hop (dynamics/topo.py,
+    ops/leapfrog.py fused :func:`_hop_math` form) after every transition —
+    the champion+hop topological sampler at fused-kernel speed.  dS comes
+    from the carried plaquette fields, so the hop costs no extra
+    plaquette pass.
 
     ``precision='bf16'`` stores the conditioner matmul weights bf16 in
     VMEM and runs the MXU in bf16 with f32 accumulation (see
@@ -637,17 +721,19 @@ def l2hmc_chain_pallas(
     def _wbytes():
         return sum(int(np.prod(w.shape)) * w.dtype.itemsize for w in weights)
 
+    # state+temporaries ~26 (tile_b, d) rows + trace blocks; hop chains
+    # carry cosp + the two winding halves (~3 more rows).  Weights are
+    # tile-independent.  Budget ~10 MB for the tiled part.
+    rows = 29 if hop else 26
     if tile_b <= 0:
-        # state+temporaries ~26 (tile_b, d) rows + trace blocks; weights are
-        # tile-independent.  Budget ~10 MB for the tiled part.
-        per_row = 4 * (26 * d + 6 * h + 6 * num_transitions)
+        per_row = 4 * (rows * d + 6 * h + 6 * num_transitions)
         tile_b = max(8, min(b, ((10 << 20) - _wbytes()) // per_row))
         if tile_b < b:
             tile_b = max(128, (tile_b // 128) * 128)
     while b % tile_b != 0 and tile_b > 1:
         tile_b -= 1
     w_bytes = _wbytes()
-    est = w_bytes + tile_b * 4 * (26 * d + 6 * h + 6 * num_transitions)
+    est = w_bytes + tile_b * 4 * (rows * d + 6 * h + 6 * num_transitions)
     if est > (14 << 20):
         raise ValueError(
             f"fused trained chain would need ~{est >> 20} MB VMEM "
@@ -656,7 +742,7 @@ def l2hmc_chain_pallas(
 
     rand = "input" if rand_arrays is not None else "prng"
     call = _kernel_for(lt, lx, num_leapfrog, num_transitions, tile_b,
-                       bounded_q, rand, interpret, ablate_nets)
+                       bounded_q, rand, interpret, ablate_nets, hop)
 
     x0 = links[..., 0].reshape(b, d).astype(jnp.float32)
     x1 = links[..., 1].reshape(b, d).astype(jnp.float32)
@@ -666,9 +752,10 @@ def l2hmc_chain_pallas(
                       jnp.asarray(beta, jnp.float32)])
     extra = ()
     if rand == "input":
-        v0s, v1s, ds, us = rand_arrays
-        extra = (v0s.astype(jnp.float32), v1s.astype(jnp.float32),
-                 ds.astype(jnp.float32), us.astype(jnp.float32))
+        extra = tuple(a.astype(jnp.float32) for a in rand_arrays)
+        if hop and len(extra) != 6:
+            raise ValueError("hop=True with injected randomness needs "
+                             "rand_arrays=(v0s, v1s, ds, us, nus, uhs)")
     x0, x1, plaqs, chgs, probs = call(b, x0, x1, seed, scal, weights, *extra)
     out = jnp.stack([x0.reshape(b, lt, lx), x1.reshape(b, lt, lx)], axis=-1)
     return out, plaqs, jnp.round(chgs), probs

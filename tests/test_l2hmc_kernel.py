@@ -135,6 +135,44 @@ def test_kernel_matches_twin(key):
     np.testing.assert_allclose(prob_k, prob_r, atol=1e-5)
 
 
+def test_hop_kernel_matches_twin(key):
+    """Trained chain + fused instanton hop: kernel (interpret) == twin,
+    and the hop actually moves Q sectors under this randomness."""
+    lt, lx, K, b, n = 4, 4, 3, 8, 4
+    cfg, params, dyn = _build(key, lt, lx, K, hidden=32)
+    shape = u1.LatticeShape(lt, lx)
+    links = u1.to_links(
+        u1.random_links(jax.random.fold_in(key, 2), b, shape), shape)
+
+    d = lt * lx
+    ks = jax.random.split(jax.random.fold_in(key, 3), 6)
+    v0s = jax.random.normal(ks[0], (n, b, d))
+    v1s = jax.random.normal(ks[1], (n, b, d))
+    ds = jnp.where(jax.random.uniform(ks[2], (n, b)) > 0.5, 1.0, -1.0)
+    us = jax.random.uniform(ks[3], (n, b))
+    nus = jax.random.rademacher(ks[4], (n, b)).astype(jnp.float32)
+    uhs = jax.random.uniform(ks[5], (n, b))
+
+    eps = float(get_eps(params, cfg))
+    out_k, plaq_k, chg_k, prob_k = l2hmc_chain_pallas(
+        links, params, key, eps=eps, beta=2.0, num_leapfrog=K,
+        num_transitions=n, tile_b=4, interpret=True,
+        rand_arrays=(v0s, v1s, ds, us, nus, uhs), hop=True)
+    out_r, plaq_r, chg_r, prob_r = l2hmc_chain_reference(
+        links, params, v0s, v1s, ds, us, eps=eps, beta=2.0, num_leapfrog=K,
+        hop_arrays=(nus, uhs))
+    np.testing.assert_allclose(out_k, out_r, atol=1e-5)
+    np.testing.assert_allclose(plaq_k, plaq_r, atol=1e-5)
+    np.testing.assert_allclose(chg_k, chg_r, atol=1e-5)
+    np.testing.assert_allclose(prob_k, prob_r, atol=1e-5)
+    # at 4x4 beta=2 the hop accepts ~50%: the trace must leave Q=0
+    assert float(jnp.abs(chg_r).max()) >= 1.0
+    # hop chain's carried fields stay consistent: final charges equal a
+    # fresh evaluation on the output links
+    chg_fresh = u1.topological_charge(out_r)
+    np.testing.assert_allclose(chg_k[-1], chg_fresh, atol=1e-4)
+
+
 def test_kernel_matches_twin_bf16(key):
     """precision='bf16' (bf16 MXU weights, f32 accumulation): kernel ==
     twin under the same precision, and the map stays close to f32 (the
