@@ -503,9 +503,9 @@ def main():
                 return l, pl[:, :64], ch[:, :64], jnp.sum(pr)
 
             links_f = _u1c.to_links(x0, ccfg.shape)
-            res_f = {}
-            for tag, run_f, n_ch in (("trained", run_tf, 6),
-                                     ("hmc", run_hf, 2)):
+            res_f, us_tr = {}, {}
+            for tag, run_f, n_ch, nt_f in (("trained", run_tf, 6, NT_T),
+                                           ("hmc", run_hf, 2, NT_H)):
                 lf, pl64, ch64, dg = run_f(links_f, key)  # compile+therm
                 float(dg)
                 pls, wall_f = [], 0.0
@@ -521,6 +521,7 @@ def main():
                 ess_f = float(np.mean(
                     [_stats.calc_ess(pl_f[:, c]) for c in range(64)]))
                 res_f[tag] = ess_f * pl_f.shape[0] * ccfg.num_chains / wall_f
+                us_tr[tag] = wall_f / (n_ch * nt_f) * 1e6
                 _trace(f"fused {tag}: ESS {ess_f:.4f}, "
                        f"{res_f[tag]:,.0f} eff samples/s")
             trained_headline.update(
@@ -528,6 +529,59 @@ def main():
                 trained_fused_vs_hmc_fused=round(
                     res_f["trained"] / res_f["hmc"], 3),
             )
+
+            # VPU machinery roofline (VERDICT r3 item 4), published next to
+            # the MXU roofline: exact per-transition op counts of the fused
+            # kernel's L2HMC machinery (jaxpr walk of the shared transition
+            # math, benchmarks/vpu_roofline.py) x measured Mosaic chain-probe
+            # issue rates -> a serial-issue time model, against the measured
+            # ablation slice (nets-ablated kernel minus plain fused HMC).
+            # measured/bound < 1 = the Mosaic schedule already overlaps op
+            # classes better than serial issue; no schedulable headroom.
+            try:
+                from benchmarks import vpu_roofline as _vr
+
+                @jax.jit
+                def run_af(l, k):
+                    l, pl, ch, pr = _l2p(l, params, k, eps_c, beta_c,
+                                         ccfg.num_steps, NT_T,
+                                         ablate_nets=True)
+                    return l, jnp.sum(pl)
+
+                lf, dg = run_af(links_f, key)
+                float(dg)
+                wall_a = 0.0
+                kk = jax.random.fold_in(key, 23)
+                for _ in range(2):
+                    kk, sub = jax.random.split(kk)
+                    t0 = time.perf_counter()
+                    lf, dg = run_af(lf, sub)
+                    float(dg)
+                    wall_a += time.perf_counter() - t0
+                us_abl = wall_a / (2 * NT_T) * 1e6
+                mach_us = us_abl - us_tr["hmc"]
+                sz = ccfg.time_size
+                c_abl, c_hmc = _vr.transition_op_counts(
+                    ccfg.num_chains, sz, sz, ccfg.num_steps)
+                delta = {k: c_abl.get(k, 0) - c_hmc.get(k, 0)
+                         for k in set(c_abl) | set(c_hmc)}
+                rates = _vr.measure_rates_pallas(
+                    ccfg.num_chains, 2 * sz * sz)
+                bound_us = 1e6 * sum(
+                    delta.get(k, 0) / rates[k] for k in rates
+                    if delta.get(k, 0) > 0)
+                trained_headline.update(
+                    fused_machinery_us=round(mach_us, 1),
+                    fused_machinery_serial_issue_bound_us=round(bound_us, 1),
+                    fused_machinery_vs_bound=round(mach_us / bound_us, 3),
+                )
+                _trace(f"VPU roofline: machinery {mach_us:.1f} us vs "
+                       f"serial-issue model {bound_us:.1f} us "
+                       f"(ratio {mach_us/bound_us:.2f} — <1 means the "
+                       f"schedule beats serial issue; no headroom)")
+            except Exception as e:   # noqa: BLE001 — optional sub-tier
+                trained_headline["vpu_roofline_error"] = repr(e)[:160]
+                _trace(f"vpu roofline sub-tier failed, continuing: {e!r}")
         except Exception as e:   # noqa: BLE001 — optional tier
             trained_headline["trained_fused_tier_error"] = repr(e)[:200]
             _trace(f"fused champion tier failed, continuing: {e!r}")
