@@ -31,12 +31,22 @@ Trained kernel (:func:`tune_l2hmc`):
 from __future__ import annotations
 
 import dataclasses
+import sys
 import time
 from typing import Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _trace(msg):
+    """Per-cell progress to stderr: probe phases run for many minutes at
+    large volume with no output otherwise — silence is indistinguishable
+    from an axon-tunnel wedge (r4: two healthy 64x64 searches were killed
+    for looking hung)."""
+    print(f"[tune {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -309,6 +319,8 @@ def tune_l2hmc(
                     "score": round(score, 1),
                     "seed_scores": [round(s, 1) for s in seed_scores]}
             cells.append(cell)
+            _trace(f"l2hmc cell K={k} eps={eps_k:.4f}: score {score:.0f} "
+                   f"acc {acc:.3f} (train-end {cell['accept_train_end']})")
             if best is None or score > best[0]:
                 best = (score, k, eps_k, acc)
     return TuneResult(num_steps=best[1], eps=round(best[2], 5),
