@@ -81,6 +81,12 @@ def main(argv=None):
         ("local_c16_L1_k3", dataclasses.replace(
             base, network_arch="local", num_filters=16, local_layers=1,
             local_kernel=3)),
+        ("localflat_c8_L2", dataclasses.replace(
+            base, network_arch="local_flat", num_filters=8,
+            local_layers=2)),
+        ("localflat_c8_L1", dataclasses.replace(
+            base, network_arch="local_flat", num_filters=8,
+            local_layers=1)),
     ]
     res = {}
     for tag, cfg in variants:

@@ -61,7 +61,7 @@ class GaugeConfig:
     eps_cap: float = 0.0             # see DynamicsConfig.eps_cap
     eps_trainable: bool = True
     hmc: bool = False
-    network_arch: str = "conv"       # 'conv' | 'mlp' | 'local' | 'zero'
+    network_arch: str = "conv"   # 'conv'|'mlp'|'local'|'local_flat'|'zero'
     num_hidden: int = 0              # 0 -> 2 * x_dim (gauge_dynamics.py:129)
     num_filters: int = 8             # conv stack width; 'local' channel count
     local_kernel: int = 3            # 'local' conditioner conv kernel size
@@ -217,6 +217,23 @@ def build_networks(cfg: GaugeConfig):
             x_channels=pos_ch,
         ))
         vi, va = make_local_net(LocalNetSpec(
+            cfg.time_size, cfg.space_size, channels=cfg.num_filters,
+            kernel_size=cfg.local_kernel, num_layers=cfg.local_layers,
+            factor=1.0, use_bf16=cfg.use_bf16, bounded_q=cfg.bounded_q,
+            v_channels=pos_ch,
+        ))
+    elif cfg.network_arch == "local_flat":
+        # flat-layout stencil edition of 'local' (r4): same family, no
+        # image round-trips; see nets.make_local_flat_net
+        from l2hmc_tpu.networks.nets import LocalNetSpec, make_local_flat_net
+
+        xi, xa = make_local_flat_net(LocalNetSpec(
+            cfg.time_size, cfg.space_size, channels=cfg.num_filters,
+            kernel_size=cfg.local_kernel, num_layers=cfg.local_layers,
+            factor=2.0, use_bf16=cfg.use_bf16, bounded_q=cfg.bounded_q,
+            x_channels=pos_ch,
+        ))
+        vi, va = make_local_flat_net(LocalNetSpec(
             cfg.time_size, cfg.space_size, channels=cfg.num_filters,
             kernel_size=cfg.local_kernel, num_layers=cfg.local_layers,
             factor=1.0, use_bf16=cfg.use_bf16, bounded_q=cfg.bounded_q,

@@ -217,6 +217,43 @@ def test_local_net_translation_equivariance(key):
             np.asarray(b_img), atol=1e-5)
 
 
+def test_local_flat_net_identity_init_and_equivariance(key):
+    """Flat-layout stencil edition (r4): same API and properties as the
+    image local net — near-identity init, volume-independent params,
+    exact translation equivariance — with zero flat<->NHWC round trips."""
+    from l2hmc_tpu.networks.nets import LocalNetSpec, make_local_flat_net
+
+    lt, lx = 6, 4
+    spec = LocalNetSpec(time_size=lt, space_size=lx, channels=8,
+                        x_channels=4)
+    init, apply = make_local_flat_net(spec)
+    params = init(key)
+    d = 2 * lt * lx
+    v = jax.random.normal(key, (2, d))
+    x = jax.random.normal(jax.random.fold_in(key, 1), (2, 2 * d))
+    t = jnp.tile(jnp.array([[0.3, 0.7]]), (2, 1))
+    s0, t0, q0 = apply(params, v, x, t)
+    assert s0.shape == t0.shape == q0.shape == (2, d)
+    assert float(jnp.std(s0)) < 0.05 and float(jnp.std(q0)) < 0.05
+    # volume-independent parameter count
+    big = LocalNetSpec(time_size=32, space_size=32, channels=8,
+                       x_channels=4)
+    init_big, _ = make_local_flat_net(big)
+    assert (sum(p.size for p in jax.tree_util.tree_leaves(params))
+            == sum(p.size for p in
+                   jax.tree_util.tree_leaves(init_big(key))))
+    # translation equivariance on the torus
+    st_, sx_ = 2, 3
+    vr = _roll_links_flat(v, lt, lx, 2, st_, sx_)
+    xr = _roll_links_flat(x, lt, lx, 4, st_, sx_)
+    s1, t1, q1 = apply(params, vr, xr, t)
+    for a, b in ((s0, s1), (t0, t1), (q0, q1)):
+        np.testing.assert_allclose(
+            np.asarray(jnp.roll(a.reshape(2, lt, lx, 2), (st_, sx_),
+                                axis=(1, 2))),
+            np.asarray(b.reshape(2, lt, lx, 2)), atol=1e-5)
+
+
 def test_local_net_trains_on_gauge(key):
     """Short 8x8 training run with the local conditioner: loss falls and
     acceptance stays alive (the dead-gradient trap would pin it at 0)."""
