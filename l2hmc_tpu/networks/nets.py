@@ -501,6 +501,19 @@ def make_local_flat_net(spec: LocalNetSpec):
     The 5-point support matches the plaquette interaction's
     nearest-neighbor physics; two layers give the same effective
     receptive field class as the image net's 3x3 pair.
+
+    MEASURED OUTCOME (r4, 64x64 @512 chains,
+    benchmarks/local_cost_sweep.py): under XLA this form is SLOWER than
+    the image path (thr vs HMC: 0.074 at L2 / 0.239 at L1, vs 0.49 for
+    the conv net) — XLA materializes every shifted (B, d) operand to
+    HBM instead of fusing the scalar-weighted roll-FMAs, so the
+    ~120-650 d-wide passes each pay a 33 MB round trip.  The op-count
+    floor (a few ms/transition) is reachable only by fusing the stencil
+    INTO the Pallas chain kernel where shifted reads stay in VMEM
+    (`pltpu.roll` on resident tiles, as `ops/l2hmc_kernel.py` does for
+    the dense conditioner).  This XLA form is therefore NOT a production
+    path: it is the exact-math reference twin for that future kernel,
+    kept tested (equivariance, identity init, gauge training).
     """
     lt, lx = spec.time_size, spec.space_size
     d = lt * lx
