@@ -108,6 +108,14 @@ def main(argv=None):
     p.add_argument("--champ_eps", type=float, default=0.095)
     p.add_argument("--champ_train_steps", type=int, default=12000)
     p.add_argument("--champ_hidden", type=int, default=64)
+    p.add_argument("--champ_train_hops", action="store_true",
+                   help="train the inline champion with instanton hops in "
+                        "the training chain (required at beta>=5: frozen "
+                        "training distribution, RESULTS.md r4)")
+    p.add_argument("--champ_seed", type=int, default=11,
+                   help="inline-training seed (retrain-on-detect: pick "
+                        "another if end acc lands in the beta=5 "
+                        "half-acceptance basin)")
     p.add_argument("--out", default="")
     args = p.parse_args(argv)
 
@@ -154,8 +162,8 @@ def main(argv=None):
             num_hidden=args.champ_hidden, merge_v_halves=True,
             eps_init=args.champ_eps, eps_trainable=False,
             train_steps=args.champ_train_steps, beta_final=args.beta,
-            charge_reward=True)
-        tkey = jax.random.PRNGKey(11)
+            charge_reward=True, train_hops=args.champ_train_hops)
+        tkey = jax.random.PRNGKey(args.champ_seed)
         tstate = init_train_state(tcfg, tkey)
         tchunk = make_train_chunk(tcfg, 250)
         kk = tkey
