@@ -548,18 +548,33 @@ def main():
                                          ablate_nets=True)
                     return l, jnp.sum(pl)
 
-                lf, dg = run_af(links_f, key)
-                float(dg)
-                wall_a = 0.0
-                kk = jax.random.fold_in(key, 23)
-                for _ in range(2):
-                    kk, sub = jax.random.split(kk)
-                    t0 = time.perf_counter()
-                    lf, dg = run_af(lf, sub)
+                # HMC reference at MATCHED K and chunking (ADVICE r4): the
+                # best-vs-best tier's us_tr['hmc'] runs K=hcfg.num_steps at
+                # NT_H — 2 extra leapfrog passes/transition and 3x the
+                # dispatch amortization — which biases the machinery slice
+                # low.  The op-count delta below is at K=ccfg.num_steps, so
+                # the measured slice must be too.
+                @jax.jit
+                def run_hk(l, k):
+                    l, pl, ch, pr = _hmcp(l, k, float(hcfg.eps_init),
+                                          beta_c, ccfg.num_steps, NT_T)
+                    return l, jnp.sum(pl)
+
+                walls = {}
+                for tag_a, run_a in (("abl", run_af), ("hmc_k", run_hk)):
+                    lf, dg = run_a(links_f, key)
                     float(dg)
-                    wall_a += time.perf_counter() - t0
-                us_abl = wall_a / (2 * NT_T) * 1e6
-                mach_us = us_abl - us_tr["hmc"]
+                    wall_a = 0.0
+                    kk = jax.random.fold_in(key, 23)
+                    for _ in range(2):
+                        kk, sub = jax.random.split(kk)
+                        t0 = time.perf_counter()
+                        lf, dg = run_a(lf, sub)
+                        float(dg)
+                        wall_a += time.perf_counter() - t0
+                    walls[tag_a] = wall_a / (2 * NT_T) * 1e6
+                us_abl = walls["abl"]
+                mach_us = us_abl - walls["hmc_k"]
                 sz = ccfg.time_size
                 c_abl, c_hmc = _vr.transition_op_counts(
                     ccfg.num_chains, sz, sz, ccfg.num_steps)

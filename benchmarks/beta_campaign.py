@@ -61,6 +61,12 @@ def main(argv=None):
                    help="interleave exact instanton hops into the training "
                         "chains (probes AND campaign trainings) — the beta>=5 "
                         "frozen-training-distribution fix")
+    p.add_argument("--retrain_acc", type=float, default=0.0,
+                   help="forwarded to h2h_seeds: detect-and-retrain "
+                        "threshold on end-of-training acceptance (0=off); "
+                        "0.7 at beta>=5 makes the campaign mean "
+                        "unconditional")
+    p.add_argument("--max_retrains", type=int, default=3)
     p.add_argument("--hmc_k", type=int, default=0,
                    help="reuse a previously auto-tuned HMC optimum "
                         "(skip tune_hmc); 0 = tune cold")
@@ -73,6 +79,11 @@ def main(argv=None):
     p.add_argument("--l2hmc_k_grid", default="2,3,4,5")
     p.add_argument("--out", default="")
     args = p.parse_args(argv)
+    if args.hmc_k > 0 and args.hmc_eps <= 0:
+        # a cached optimum needs BOTH values; eps=0 would build a
+        # degenerate never-moving HMC baseline and inflate every ratio
+        p.error("--hmc_k requires --hmc_eps > 0 (the cached optimum's "
+                "step size)")
 
     from benchmarks import h2h_seeds
     from l2hmc_tpu.lattice import u1
@@ -157,6 +168,9 @@ def main(argv=None):
     ]
     if args.train_hops:
         h2h_argv.append("--train_hops")
+    if args.retrain_acc > 0:
+        h2h_argv += ["--retrain_acc", str(args.retrain_acc),
+                     "--max_retrains", str(args.max_retrains)]
     _trace(f"h2h: {' '.join(h2h_argv)}")
     h2h_seeds.main(h2h_argv)
 
@@ -165,6 +179,7 @@ def main(argv=None):
         "benchmark": "beta_campaign",
         "size": args.size, "beta": args.beta,
         "arch": args.arch, "train_hops": args.train_hops,
+        "retrain_acc": args.retrain_acc,
         "lr_init": args.lr_init,
         "hmc_opt": {"K": hmc_opt.num_steps, "eps": hmc_opt.eps,
                     "accept": hmc_opt.accept},

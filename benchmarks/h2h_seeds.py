@@ -141,6 +141,14 @@ def main(argv=None):
                         "plaq deficit and ~12% depressed acceptance over "
                         "8000 steps; the campaign then scores a transient)")
     p.add_argument("--therm_sweeps", type=int, default=1500)
+    p.add_argument("--retrain_acc", type=float, default=0.0,
+                   help="detect-and-retrain threshold on end-of-training "
+                        "acceptance (0 = off).  At beta >= 5 trainings "
+                        "land in separable basins (end acc ~0.55 failed "
+                        "vs ~0.87 converged); 0.7 re-seeds the failures "
+                        "so the campaign mean is UNCONDITIONAL "
+                        "(train.gauge.train_to_convergence)")
+    p.add_argument("--max_retrains", type=int, default=3)
     p.add_argument("--out", default="")
     args = p.parse_args(argv)
 
@@ -149,7 +157,7 @@ def main(argv=None):
     from benchmarks.trained_vs_hmc import trace_stats
     from l2hmc_tpu.lattice import u1
     from l2hmc_tpu.train.gauge import (
-        GaugeConfig, init_train_state, make_train_chunk,
+        GaugeConfig, init_train_state, train_to_convergence,
     )
 
     base = GaugeConfig(
@@ -169,16 +177,13 @@ def main(argv=None):
     for s in range(args.seeds):
         seed = args.seed0 + s
         key = jax.random.PRNGKey(seed)
-        state = init_train_state(base, key)
-        csz = min(250, args.train_steps)
-        chunk = make_train_chunk(base, csz)
-        kk = key
         t0 = time.perf_counter()
-        for _ in range(max(args.train_steps // csz, 1)):
-            kk, sub = jax.random.split(kk)
-            state, m = chunk(state, sub)
-        acc_end = float(np.asarray(m["accept_prob"])[-1])
-        _trace(f"seed {seed}: trained {args.train_steps} steps in "
+        state, m, attempts = train_to_convergence(
+            base, key, retrain_acc=args.retrain_acc,
+            max_retrains=args.max_retrains, trace=_trace)
+        acc_end = attempts[-1]["end_accept"]
+        _trace(f"seed {seed}: trained {args.train_steps} steps x "
+               f"{len(attempts)} attempt(s) in "
                f"{time.perf_counter()-t0:.0f}s, end acc={acc_end:.3f}")
 
         ecfg = dataclasses.replace(base, num_chains=args.eval_chains)
@@ -214,6 +219,7 @@ def main(argv=None):
             * st_h["steps_per_s"]
         rec = {
             "seed": seed,
+            "train_attempts": attempts,
             "trained": {"accept": round(float(out["t"]["accept"].mean()), 4),
                         "plaq": st_t, "charge": qt,
                         "plaq_mean": round(float(out["t"]["plaqs"].mean()), 6)},

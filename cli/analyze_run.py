@@ -45,9 +45,19 @@ def main(argv=None):
             )
             if "charges" in section:
                 ch = section["charges"]
+                rel = "" if ch.get("tau_int_pooled_reliable") else \
+                    " [unreliable: window exceeds trace]"
                 print(
                     f"{name}: <Q^2> = {ch['susceptibility']:.3f} "
-                    f"tunneling <|dQ|> = {ch['tunneling_rate']:.3f}"
+                    f"tunneling <|dQ|> = {ch['tunneling_rate']:.3f} "
+                    f"tau_int(Q) sokal = {ch['tau_int']:.1f}, "
+                    f"pooled = {ch['tau_int_pooled']:.1f}{rel}"
+                )
+            if "hop_accept" in section:
+                print(
+                    f"{name}: hop_accept = "
+                    f"{section['hop_accept']['mean']:.4f} "
+                    f"hop_dq = {section['hop_dq']['mean']:.4f}"
                 )
 
     if args.plots:

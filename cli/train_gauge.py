@@ -61,7 +61,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "acceptance rescue needs ~10k steps to mature)")
     p.add_argument("--hmc", action="store_true", help="plain-HMC mode (zero nets)")
     p.add_argument("--network_arch", default="conv",
-                   choices=["conv", "mlp", "local", "zero"])
+                   choices=["conv", "mlp", "local", "local_flat", "zero"])
     p.add_argument("--num_hidden", type=int, default=0, help="0 -> 2*x_dim")
     p.add_argument("--num_filters", type=int, default=8,
                    help="conv stack width; channel count for --network_arch local")
@@ -77,6 +77,24 @@ def build_parser() -> argparse.ArgumentParser:
                         "into the training chain: keeps the training-state "
                         "distribution Q-sector-complete where annealed "
                         "chains freeze (beta >= 5)")
+    p.add_argument("--eval_hops", type=int, default=0,
+                   help="interleave N exact instanton hops (dynamics/topo.py)"
+                        " per step into EVERY eval chain — the topological-"
+                        "channel winner (16x16 beta=5: tunneling/s ~165x "
+                        "tuned HMC, all hop cost counted).  Surfaces "
+                        "hop_accept/hop_dq in the eval summary")
+    p.add_argument("--nu_max", type=int, default=1,
+                   help="max |winding| per hop proposal (--eval_hops)")
+    p.add_argument("--retrain_acc", type=float, default=0.0,
+                   help="detect-and-retrain threshold on end-of-training "
+                        "acceptance (0 = off).  beta >= 5 trainings land in "
+                        "two separable basins (end acc ~0.55 failed vs "
+                        "~0.87 converged, RESULTS.md); 0.7 auto-reseeds "
+                        "the failures so the shipped recipe is "
+                        "unconditional.  Attempts are recorded in "
+                        "params.json")
+    p.add_argument("--max_retrains", type=int, default=3,
+                   help="extra training attempts for --retrain_acc")
     p.add_argument("--merge_v_halves", action="store_true",
                    help="merge adjacent momentum half-steps across leapfrog "
                         "steps (K+1 VNet calls instead of 2K; exact kernel, "
@@ -287,55 +305,78 @@ def main(argv=None):
     eval_chunk = make_eval_chunk(cfg, 500) if args.eval_steps else None
 
     logger = MetricsLogger(run_dir, print_every=1, tensorboard=args.tensorboard)
-    n_chunks = max((cfg.train_steps - start_step) // chunk_size, 0)
     t_prev = time.perf_counter()
+    # detect-and-retrain outer loop (train.gauge.train_to_convergence
+    # semantics with the full CLI loop body): at beta >= 5 a training can
+    # land in the half-acceptance basin; --retrain_acc re-seeds it
+    max_attempts = 1 + (args.max_retrains if args.retrain_acc > 0 else 0)
+    attempts = []
     try:
-        for c in range(n_chunks):
-            key, sub = jax.random.split(key)
-            trace_now = args.profile and (
-                c == 0 or (args.profile_every > 0
-                           and c % args.profile_every == 0))
-            if trace_now:
-                # recurring timelines land in their own per-step dirs
-                # (reference timeline_<step>.json, gauge_model.py:1250-1265)
-                tdir = run_dir / ("profile" if c == 0
-                                  else f"timeline_{int(state.step)}")
-                with jax.profiler.trace(str(tdir)):
-                    state, metrics = train_chunk(state, sub)
-                    jax.block_until_ready(state.x)
-                # reference parity: dump the op-view digest right after the
-                # traced window (gauge_model.py:1048-1071)
-                from l2hmc_tpu.analysis.profile_digest import write_digest
-
-                digest = write_digest(
-                    tdir, run_dir if c == 0 else tdir)
-                if digest is not None:
-                    log(f"profile digest: {digest}")
-            else:
-                state, metrics = train_chunk(state, sub)
-            step = int(state.step)
-            t_now = time.perf_counter()
-            rec = {k: float(np.asarray(v)[-1]) for k, v in metrics.items()}
-            rec.update(
-                step=step,
-                dt=(t_now - t_prev) / chunk_size,
-                plaq_exact=float(u1.u1_plaq_exact(rec["beta"])),
-            )
-            t_prev = t_now
-            logger.write(rec)
-
-            if args.summary_steps and step % args.summary_steps < chunk_size:
-                logger.write_summaries(step, state.params)
-            if args.save_steps and step % args.save_steps < chunk_size:
-                ckpt.save_checkpoint(ckpt_dir, state, step, cfg)
-            if eval_chunk is not None and step % args.eval_steps < chunk_size:
+        for attempt in range(max_attempts):
+            if attempt > 0:
+                key = jax.random.fold_in(jax.random.PRNGKey(args.seed),
+                                         7700 + attempt)
+                state = init_train_state(cfg, key)
+                start_step = 0
+            n_chunks = max((cfg.train_steps - start_step) // chunk_size, 0)
+            end_acc = float("nan")
+            for c in range(n_chunks):
                 key, sub = jax.random.split(key)
-                x_eval = u1.random_links(sub, cfg.num_chains, cfg.shape)
-                _, em = eval_chunk(state.params, x_eval, rec["beta"], sub)
-                log(
-                    f"  eval@{step}: acc={float(np.asarray(em['accept_prob']).mean()):.4f} "
-                    f"plaq={float(np.asarray(em['plaqs'])[250:].mean()):.5f}"
+                trace_now = args.profile and (
+                    c == 0 or (args.profile_every > 0
+                               and c % args.profile_every == 0))
+                if trace_now:
+                    # recurring timelines land in their own per-step dirs
+                    # (reference timeline_<step>.json,
+                    # gauge_model.py:1250-1265)
+                    tdir = run_dir / ("profile" if c == 0
+                                      else f"timeline_{int(state.step)}")
+                    with jax.profiler.trace(str(tdir)):
+                        state, metrics = train_chunk(state, sub)
+                        jax.block_until_ready(state.x)
+                    # reference parity: dump the op-view digest right after
+                    # the traced window (gauge_model.py:1048-1071)
+                    from l2hmc_tpu.analysis.profile_digest import write_digest
+
+                    digest = write_digest(
+                        tdir, run_dir if c == 0 else tdir)
+                    if digest is not None:
+                        log(f"profile digest: {digest}")
+                else:
+                    state, metrics = train_chunk(state, sub)
+                step = int(state.step)
+                t_now = time.perf_counter()
+                acc_arr = np.asarray(metrics["accept_prob"])
+                end_acc = float(acc_arr[-min(50, chunk_size):].mean())
+                rec = {k: float(np.asarray(v)[-1]) for k, v in metrics.items()}
+                rec.update(
+                    step=step,
+                    dt=(t_now - t_prev) / chunk_size,
+                    plaq_exact=float(u1.u1_plaq_exact(rec["beta"])),
                 )
+                t_prev = t_now
+                logger.write(rec)
+
+                if args.summary_steps and step % args.summary_steps < chunk_size:
+                    logger.write_summaries(step, state.params)
+                if args.save_steps and step % args.save_steps < chunk_size:
+                    ckpt.save_checkpoint(ckpt_dir, state, step, cfg)
+                if eval_chunk is not None and step % args.eval_steps < chunk_size:
+                    key, sub = jax.random.split(key)
+                    x_eval = u1.random_links(sub, cfg.num_chains, cfg.shape)
+                    _, em = eval_chunk(state.params, x_eval, rec["beta"], sub)
+                    log(
+                        f"  eval@{step}: acc={float(np.asarray(em['accept_prob']).mean()):.4f} "
+                        f"plaq={float(np.asarray(em['plaqs'])[250:].mean()):.5f}"
+                    )
+            attempts.append({"attempt": attempt,
+                             "end_accept": round(end_acc, 4)})
+            if (args.retrain_acc <= 0 or n_chunks == 0
+                    or end_acc >= args.retrain_acc):
+                break
+            log(f"training attempt {attempt}: end acc {end_acc:.3f} < "
+                f"{args.retrain_acc} (half-acceptance basin) — retraining "
+                f"with a fresh seed")
     except (KeyboardInterrupt, SystemExit):
         # save-and-exit on interrupt (reference gauge_model.py:1295-1301)
         log(f"interrupted at step {int(state.step)}; checkpointing...")
@@ -343,11 +384,24 @@ def main(argv=None):
         logger.close()
         raise
 
+    if attempts:
+        # provenance: how many trainings the shipped params took
+        save_params_json(run_dir, dict(vars(args),
+                                       train_attempts=attempts))
     ckpt.save_checkpoint(ckpt_dir, state, int(state.step), cfg)
 
-    # post-training eval protocol (gauge_model.py:2142-2148)
+    # post-training eval protocol (gauge_model.py:2142-2148); --eval_hops
+    # swaps in the composite kernel+hop chain (dynamics/topo.py) — the
+    # framework's topological-channel winner, from the product surface
     if args.run_steps:
-        eval_chunk = make_eval_chunk(cfg, min(args.run_steps, 1000))
+        if args.eval_hops > 0:
+            from l2hmc_tpu.dynamics import topo
+
+            eval_chunk = topo.make_hop_eval_chunk(
+                cfg, min(args.run_steps, 1000), n_hops=args.eval_hops,
+                nu_max=args.nu_max)
+        else:
+            eval_chunk = make_eval_chunk(cfg, min(args.run_steps, 1000))
         for beta in (cfg.beta_final, cfg.beta_final - 1.0):
             key, k0, k1 = jax.random.split(key, 3)
             if args.eval_init == "train":
@@ -381,6 +435,15 @@ def main(argv=None):
             q_full = stats.therm_cut(merged["charges"])
             summary["charges"]["susceptibility"] = float((q_full ** 2).mean())
             summary["charges"]["histogram"] = stats.charge_histogram(q_full)
+            # pooled multi-chain tau_int(Q) next to the single-trace Sokal
+            # number: at large volume/beta the per-chain window is noise
+            # exactly where tau is interesting (analysis/stats.py)
+            tau_q, tau_ok = stats.pooled_integrated_time(q_full)
+            summary["charges"]["tau_int_pooled"] = round(float(tau_q), 2)
+            summary["charges"]["tau_int_pooled_reliable"] = bool(tau_ok)
+            tau_q1, _ = stats.integrated_time(q_full.mean(axis=-1))
+            summary["charges"]["tau_int_sokal_single"] = round(
+                float(tau_q1), 2)
             summary["plaq_exact"] = float(u1.u1_plaq_exact(beta))
             summary["wloop22_exact"] = float(u1.wilson_loop_exact(beta, 4))
             if args.action == "wilson":
@@ -398,9 +461,19 @@ def main(argv=None):
             q2_note = (f" <Q^2>={summary['charges']['susceptibility']:.4f}"
                        f" (exact {summary['q2_exact']:.4f})"
                        if "q2_exact" in summary else "")
+            hop_note = ""
+            if "hop_accept" in summary:
+                hop_note = (
+                    f" hop_acc={summary['hop_accept']['mean']:.4f}"
+                    f" hop_dq={summary['hop_dq']['mean']:.4f}")
+            tau_note = (
+                f" tau_Q(pooled)={summary['charges']['tau_int_pooled']:g}"
+                + ("" if summary["charges"]["tau_int_pooled_reliable"]
+                   else "(unreliable)"))
             log(f"eval beta={beta:g}: plaq={summary['plaqs']['mean']:.5f} "
                 f"(exact {summary['plaq_exact']:.5f}) "
                 f"acc={summary['accept_prob']['mean']:.4f}{q2_note}"
+                f"{hop_note}{tau_note}"
                 f" -> {out_file}")
 
     logger.close()

@@ -45,6 +45,11 @@ def analyze_observable_traces(
         ess = float(np.mean([
             stats.calc_ess(flat[:, c]) for c in range(min(flat.shape[1], 16))
         ]))
+        # pooled multi-chain estimator next to the single-trace Sokal
+        # number (VERDICT r3 item 6 / r4 item 2): per-chain windows are
+        # noise at large tau; pooling C chains extends the reliable range
+        # ~C-fold (analysis/stats.py pooled_integrated_time)
+        tau_p, reliable_p = stats.pooled_integrated_time(flat)
         out[name] = {
             "mean": float(flat.mean()),
             "sem": stats.sem(chain_mean),
@@ -53,6 +58,9 @@ def analyze_observable_traces(
             "tau_int": tau,
             "tau_int_reliable": reliable,
             "ess_per_sample": ess,
+            "tau_int_pooled": tau_p,
+            "tau_int_pooled_reliable": reliable_p,
+            "ess_per_sample_pooled": float(1.0 / max(tau_p, 1.0)),
         }
     if "charges" in traces:
         q = stats.therm_cut(np.asarray(traces["charges"]), therm_frac)

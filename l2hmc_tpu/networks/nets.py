@@ -515,6 +515,13 @@ def make_local_flat_net(spec: LocalNetSpec):
     path: it is the exact-math reference twin for that future kernel,
     kept tested (equivariance, identity init, gauge training).
     """
+    if spec.kernel_size != 3:
+        # the stencil support is the fixed 5-point cross (the k=3 conv's
+        # physics-relevant subset); a spec asking for another kernel_size
+        # would silently run a different receptive field (ADVICE r4)
+        raise ValueError(
+            f"make_local_flat_net supports kernel_size=3 only (5-point "
+            f"cross stencil); got {spec.kernel_size}")
     lt, lx = spec.time_size, spec.space_size
     d = lt * lx
     c = spec.channels

@@ -498,6 +498,51 @@ def make_train_chunk(cfg: GaugeConfig, chunk_size: int):
     return chunk
 
 
+def train_to_convergence(cfg: GaugeConfig, key: jax.Array, *,
+                         chunk_size: int = 250, retrain_acc: float = 0.0,
+                         max_retrains: int = 3, trace=None):
+    """Train the sampler; detect-and-retrain on the beta>=5 bimodality.
+
+    At beta >= 5 the annealed training recipe lands in one of two
+    perfectly separable basins (measured over 8 seeds at 16x16:
+    end-of-training acceptance 0.55 +- 0.03 in the failed basin vs
+    0.87 +- 0.01 converged — no overlap; RESULTS.md r4), a coin flip
+    that made the shipped recipe's UNCONDITIONAL quality untrustworthy.
+    ``retrain_acc`` > 0 arms the detector: when the mean acceptance over
+    the tail of the final training chunk falls below it, training
+    restarts from a fresh fold of the seed, up to ``max_retrains``
+    extra attempts.  The threshold sits between the basins (0.7 is the
+    midpoint of the measured gap).
+
+    Returns ``(state, last_metrics, attempts)`` where ``attempts`` is
+    the per-attempt record (for params.json provenance).  ``trace`` is
+    an optional ``fn(msg)`` progress callback.
+    """
+    chunk_size = min(chunk_size, max(cfg.train_steps, 1))
+    chunk = make_train_chunk(cfg, chunk_size)
+    attempts = []
+    state = m = None
+    for attempt in range(max_retrains + 1):
+        akey = key if attempt == 0 else jax.random.fold_in(key, 7700 + attempt)
+        state = init_train_state(cfg, akey)
+        kk = akey
+        for _ in range(max(cfg.train_steps // chunk_size, 1)):
+            kk, sub = jax.random.split(kk)
+            state, m = chunk(state, sub)
+        tail = np.asarray(m["accept_prob"])[-min(50, chunk_size):]
+        end_acc = float(tail.mean())
+        attempts.append({"attempt": attempt,
+                         "end_accept": round(end_acc, 4)})
+        converged = retrain_acc <= 0 or end_acc >= retrain_acc
+        if trace is not None:
+            trace(f"training attempt {attempt}: end acc {end_acc:.3f}"
+                  + ("" if converged else
+                     f" < {retrain_acc} — retraining"))
+        if converged:
+            break
+    return state, m, attempts
+
+
 def make_eval_chunk(cfg: GaugeConfig, chunk_size: int):
     """Sampling-only chunk (no grads) for in-training evaluation and the
     post-training ``run`` protocol (``gauge_model.py:1304-1460``)."""

@@ -242,3 +242,34 @@ def test_cli_autotune_flags_parse():
     assert a.autotune and a.autotune_probe_steps == 4000
     cfg = train_gauge.flags_to_config(a)
     assert cfg.grad_summaries
+
+
+def test_gauge_cli_eval_hops_smoke(tmp_path):
+    """CLI-only hop eval (VERDICT r4 item 2): --eval_hops reaches the eval
+    protocol, surfaces hop metrics + pooled tau in the summary json, and
+    the offline analyze CLI reads them back."""
+    sys.path.insert(0, str(Path(__file__).parent.parent / "cli"))
+    import analyze_run
+    import train_gauge
+
+    log_dir = tmp_path / "g"
+    train_gauge.main([
+        "--time_size", "4", "--space_size", "4", "--num_samples", "8",
+        "--num_steps", "2", "--eps", "0.2", "--hmc",
+        "--train_steps", "4", "--logging_steps", "2", "--save_steps", "0",
+        "--run_steps", "40", "--log_dir", str(log_dir), "--eval_hops", "1",
+        "--beta_init", "2.0", "--beta_final", "2.0",
+    ])
+    runs = sorted(log_dir.glob("run_*"))
+    assert runs
+    summary = json.loads((runs[-1] / "eval_beta2.json").read_text())
+    assert "hop_accept" in summary and 0 < summary["hop_accept"]["mean"] <= 1
+    assert "hop_dq" in summary
+    assert "tau_int_pooled" in summary["charges"]
+    assert "tau_int_sokal_single" in summary["charges"]
+    # the offline pipeline re-reads the npz traces incl. hop metrics
+    analyze_run.main([str(runs[-1])])
+    report = json.loads((runs[-1] / "analysis.json").read_text())
+    eval_sec = report["eval_beta2"]
+    assert "hop_accept" in eval_sec
+    assert "tau_int_pooled" in eval_sec["charges"]

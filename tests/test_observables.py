@@ -49,6 +49,11 @@ def test_analyze_traces(run_dir):
     assert "histogram" in out["charges"]
     assert out["charges"]["susceptibility"] > 0
     assert out["charges"]["tunneling_rate"] > 0
+    # pooled multi-chain estimators ship next to the single-trace numbers
+    # (VERDICT r4 item 2); iid-ish synthetic data -> tau_pooled ~ 1
+    assert out["charges"]["tau_int_pooled"] == pytest.approx(1.0, abs=0.5)
+    assert out["charges"]["tau_int_pooled_reliable"] is True
+    assert 0 < out["charges"]["ess_per_sample_pooled"] <= 1.0
 
 
 def test_thermalization_step(run_dir):

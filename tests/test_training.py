@@ -366,3 +366,23 @@ def test_eps_fixed_training_freezes_eps(key):
     x1 = np.asarray(jax.tree_util.tree_leaves(state.params.xnet)[0])
     assert not np.allclose(x0, x1), "conditioners did not train"
     assert np.all(np.isfinite(np.asarray(m["loss"])))
+
+
+def test_train_to_convergence_retrains_on_low_acceptance(key):
+    """Detect-and-retrain (VERDICT r4 item 3): an unreachable acceptance
+    threshold forces every retry; threshold off -> exactly one attempt."""
+    from l2hmc_tpu.train.gauge import GaugeConfig, train_to_convergence
+
+    cfg = GaugeConfig(time_size=4, space_size=4, num_chains=8, num_steps=2,
+                      network_arch="mlp", num_hidden=8, train_steps=4,
+                      merge_v_halves=True)
+    state, m, attempts = train_to_convergence(
+        cfg, key, chunk_size=2, retrain_acc=0.0)
+    assert len(attempts) == 1
+    assert 0.0 <= attempts[0]["end_accept"] <= 1.0
+
+    state, m, attempts = train_to_convergence(
+        cfg, key, chunk_size=2, retrain_acc=2.0, max_retrains=2)
+    assert len(attempts) == 3          # initial + 2 retrains, all "failed"
+    assert all(a["end_accept"] < 2.0 for a in attempts)
+    assert m["accept_prob"].shape == (2,)
