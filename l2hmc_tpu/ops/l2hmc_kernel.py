@@ -46,6 +46,8 @@ from l2hmc_tpu.ops.leapfrog import (
     _hop_math,
     _potential_and_sinp,
     _potential_fields,
+    _roll_s,
+    _roll_t,
     _uniform_from_bits,
     _normal_pair,
     _winding_flat,
@@ -173,6 +175,51 @@ def pack_weights(params, x_dim: int,
         for n in WEIGHT_NAMES)
 
 
+def local_weight_names(num_layers: int) -> Tuple[str, ...]:
+    """Ordered weight names for the LOCAL (5-point stencil) conditioner
+    family (``networks/nets.py make_local_flat_net``), kernel edition.
+
+    All stencil weights are scalar-indexed in the kernel (SMEM); only the
+    per-step hold masks are VMEM vectors."""
+    names = []
+    for n in ("x", "v"):
+        names += [n + "s0w", n + "s0t", n + "s0b"]
+        for i in range(1, num_layers):
+            names += [f"{n}s{i}w", f"{n}s{i}b"]
+        names += [n + "hw", n + "hb", n + "cs", n + "ct"]
+    names += ["mask0", "mask1"]
+    return tuple(names)
+
+
+def pack_local_weights(params, x_dim: int,
+                       num_layers: int) -> Tuple[jax.Array, ...]:
+    """``make_local_flat_net`` DynamicsParams -> ordered kernel arrays.
+
+    The stencil family is already flat-layout and direction-split by
+    construction (its channels ARE the dir-halves), so unlike
+    :func:`pack_weights` there is nothing to de-interleave except the
+    per-step masks."""
+    vals = {}
+    for n, net in (("x", params.xnet), ("v", params.vnet)):
+        s0 = net["stencil_0"]
+        vals[n + "s0w"] = s0["w"]            # (5, cin, c)
+        vals[n + "s0t"] = s0["wt"]           # (2, c)
+        vals[n + "s0b"] = s0["b"]            # (c,)
+        for i in range(1, num_layers):
+            si = net[f"stencil_{i}"]
+            vals[f"{n}s{i}w"] = si["w"]      # (5, c, c)
+            vals[f"{n}s{i}b"] = si["b"]
+        vals[n + "hw"] = net["head"]["w"]    # (c, 6): [S0 S1 T0 T1 Q0 Q1]
+        vals[n + "hb"] = net["head"]["b"]
+        vals[n + "cs"] = net["coeff_scale"]            # (2,) per direction
+        vals[n + "ct"] = net["coeff_transformation"]   # (2,)
+    m = params.masks.reshape(params.masks.shape[0], x_dim // 2, 2)
+    vals["mask0"] = m[..., 0]
+    vals["mask1"] = m[..., 1]
+    return tuple(jnp.asarray(vals[k], jnp.float32)
+                 for k in local_weight_names(num_layers))
+
+
 # ---------------------------------------------------------------------------
 # Shared transition math (kernel + pure-JAX twin)
 # ---------------------------------------------------------------------------
@@ -282,9 +329,95 @@ def _select_mask(masks, idx, K):
     return out
 
 
+_STENCIL_OFF = ((0, 0), (1, 0), (-1, 0), (0, 1), (0, -1))
+
+
+def _make_stencil_nets(W, lx, s_col, roll, bounded_q, local_layers):
+    """vnet/xnet closures for the LOCAL 5-point-stencil conditioner —
+    exact ``make_local_flat_net`` math on the kernel's dir-split halves.
+
+    Every weight access is a SCALAR read (``w[oi, ci, j]``), so inside
+    the Pallas kernel ``W`` holds SMEM refs and the channel mix lowers to
+    scalar-times-vector FMAs on VMEM-resident ``(b, d)`` rows; the 5-point
+    cross is the Wilson gradient's lane-roll pattern.  No flat->NHWC
+    round trips, no HBM-materialized shifted operands — the two costs
+    that made both XLA formulations lose (RESULTS.md r4, the measured
+    dead ends this kernel exists to escape)."""
+
+    def shift(a, off):
+        dt, ds_ = off
+        if dt:
+            a = _roll_t(a, dt, lx, roll)
+        if ds_:
+            a = _roll_s(a, ds_, lx, s_col, roll)
+        return a
+
+    def layer(ins, w, bias, t_vec=None, t_w=None):
+        cout = w.shape[2]
+        acc = []
+        for j in range(cout):
+            base = jnp.zeros_like(ins[0]) + bias[j]
+            if t_vec is not None:
+                # broadcast time encoding == a conv over constant channels
+                base = base + (t_vec[:, 0:1] * t_w[0, j]
+                               + t_vec[:, 1:2] * t_w[1, j])
+            acc.append(base)
+        # (ci, oi) outer so ONE shifted operand is live at a time: the
+        # accumulators (cout rows) + inputs dominate VMEM, not shifts
+        for ci, a in enumerate(ins):
+            for oi, off in enumerate(_STENCIL_OFF):
+                sh = shift(a, off)
+                for j in range(cout):
+                    acc[j] = acc[j] + w[oi, ci, j] * sh
+        return [jax.nn.relu(a) for a in acc]
+
+    def apply_net(prefix, chans, tau):
+        y = layer(chans, getattr(W, prefix + "s0w"),
+                  getattr(W, prefix + "s0b"), tau,
+                  getattr(W, prefix + "s0t"))
+        for i in range(1, local_layers):
+            y = layer(y, getattr(W, f"{prefix}s{i}w"),
+                      getattr(W, f"{prefix}s{i}b"))
+        hw = getattr(W, prefix + "hw")
+        hb = getattr(W, prefix + "hb")
+        c = len(y)
+        head = []
+        for k in range(6):      # [S0 S1 T0 T1 Q0 Q1] (1x1 head conv)
+            h = jnp.zeros_like(y[0]) + hb[k]
+            for ci in range(c):
+                h = h + hw[ci, k] * y[ci]
+            head.append(h)
+        cs = getattr(W, prefix + "cs")
+        ct = getattr(W, prefix + "ct")
+        out = []
+        for dirn in (0, 1):
+            s = jnp.tanh(head[0 + dirn]) * jnp.exp(cs[dirn])
+            q = head[4 + dirn]
+            if bounded_q:
+                q = jnp.tanh(q)
+            q = q * jnp.exp(ct[dirn])
+            out.append((s, head[2 + dirn], q))
+        return out
+
+    def vnet(trig, gg0, gg1, tau):
+        # channel order == make_local_flat_net's split_dir concat for the
+        # VNet call (v slot = cos/sin position features, x slot = grad)
+        cy0, cy1, sy0, sy1 = trig
+        return apply_net("v", [cy0, cy1, sy0, sy1, gg0, gg1], tau)
+
+    def xnet(ww0, ww1, trig, m0, m1, tau):
+        # XNet: v slot = momentum halves, x slot = MASKED cos/sin features
+        cy0, cy1, sy0, sy1 = trig
+        return apply_net("x", [ww0, ww1, m0 * cy0, m1 * cy1,
+                               m0 * sy0, m1 * sy1], tau)
+
+    return vnet, xnet
+
+
 def _l2hmc_transition_math(
     x0, x1, v0, v1, dsign, u, W, eps, beta, K, lx, s_col, roll, bounded_q,
     pot0=None, sinp=None, chg0=None, ablate_nets=False, cosp=None,
+    local_layers=0,
 ):
     """One trained-L2HMC transition (merge_v_halves, u1) on flat halves.
 
@@ -332,6 +465,13 @@ def _l2hmc_transition_math(
 
         def link_trig(yy0, yy1):
             return None
+    elif local_layers > 0:
+        vnet, xnet = _make_stencil_nets(W, lx, s_col, roll, bounded_q,
+                                        local_layers)
+
+        def link_trig(yy0, yy1):
+            # same shared-quartet dedup as the MLP branch below
+            return jnp.cos(yy0), jnp.cos(yy1), jnp.sin(yy0), jnp.sin(yy1)
     else:
         def link_trig(yy0, yy1):
             """Per-link cos/sin feature quartet.  Per step the VNet kick
@@ -460,20 +600,28 @@ def _l2hmc_transition_math(
 
 def l2hmc_chain_reference(links, params, v0s, v1s, ds, us, eps, beta,
                           num_leapfrog, bounded_q=True, precision="f32",
-                          hop_arrays=None):
+                          hop_arrays=None, local_layers=0):
     """Run ``N`` trained transitions with injected randomness.
 
     ``links (B, Lt, Lx, 2)``; ``v0s/v1s (N, B, Lt*Lx)``; ``ds/us (N, B)``.
     Same math function as the kernel, jnp.roll edition.
     ``hop_arrays=(nus, uhs)`` (each ``(N, B)``, nus in {+1,-1}) appends one
     exact instanton hop (ops/leapfrog.py :func:`_hop_math`) after every
-    transition — the trained-kernel edition of the HMC hop chain.  Returns
-    ``(links_out, plaq_trace, charge_trace, prob_trace)``.
+    transition — the trained-kernel edition of the HMC hop chain.
+    ``local_layers > 0`` switches the conditioner family from the MLP to
+    the LOCAL 5-point stencil (``make_local_flat_net`` params of that
+    depth; ``precision`` is ignored — the stencil is VPU-scalar work).
+    Returns ``(links_out, plaq_trace, charge_trace, prob_trace)``.
     """
     b, lt, lx, _ = links.shape
     d = lt * lx
-    W = SimpleNamespace(**dict(zip(WEIGHT_NAMES,
-                                   pack_weights(params, 2 * d, precision))))
+    if local_layers > 0:
+        W = SimpleNamespace(**dict(zip(
+            local_weight_names(local_layers),
+            pack_local_weights(params, 2 * d, local_layers))))
+    else:
+        W = SimpleNamespace(**dict(zip(
+            WEIGHT_NAMES, pack_weights(params, 2 * d, precision))))
     s_col = (jax.lax.broadcasted_iota(jnp.int32, (b, d), 1) % lx)
     roll = functools.partial(jnp.roll, axis=1)
     x0 = links[..., 0].reshape(b, d)
@@ -486,7 +634,8 @@ def l2hmc_chain_reference(links, params, v0s, v1s, ds, us, eps, beta,
             v0, v1, dsg, u = rand
             x0, x1, prob, plaq, pot, sinp, chg = _l2hmc_transition_math(
                 x0, x1, v0, v1, dsg, u, W, eps, beta, num_leapfrog, lx,
-                s_col, roll, bounded_q, pot0=pot, sinp=sinp, chg0=chg)
+                s_col, roll, bounded_q, pot0=pot, sinp=sinp, chg0=chg,
+                local_layers=local_layers)
             return (x0, x1, pot, sinp, chg), (plaq, chg, prob)
 
         (x0, x1, _, _, _), (plaqs, chgs, probs) = jax.lax.scan(
@@ -502,7 +651,7 @@ def l2hmc_chain_reference(links, params, v0s, v1s, ds, us, eps, beta,
              cosp) = _l2hmc_transition_math(
                 x0, x1, v0, v1, dsg, u, W, eps, beta, num_leapfrog, lx,
                 s_col, roll, bounded_q, pot0=pot, sinp=sinp, chg0=chg,
-                cosp=cosp)
+                cosp=cosp, local_layers=local_layers)
             x0, x1, _, pot, sinp, cosp, chg = _hop_math(
                 x0, x1, pot, sinp, cosp, chg, nu, uh, beta, w0f, w1f)
             plaq = 1.0 - pot / d
@@ -759,3 +908,252 @@ def l2hmc_chain_pallas(
     x0, x1, plaqs, chgs, probs = call(b, x0, x1, seed, scal, weights, *extra)
     out = jnp.stack([x0.reshape(b, lt, lx), x1.reshape(b, lt, lx)], axis=-1)
     return out, plaqs, jnp.round(chgs), probs
+
+
+# ---------------------------------------------------------------------------
+# LOCAL (5-point stencil) conditioner chain kernel — the 64x64 kernel
+# ---------------------------------------------------------------------------
+# The dense-trunk kernel above cannot run at large volume: its traces are
+# (N, tile_b) blocks with tile_b on LANES, forcing tile_b >= 128, and
+# 128 x (d = 4096) x ~26 rows blows VMEM.  The local kernel flips the
+# trace layout to (G, N, tile_b) blocks — tile_b is the FULL minor extent,
+# so any multiple of 8 is legal — which makes tile_b = 8..16 feasible at
+# 64x64 with everything VMEM-resident.  Stencil weights are scalars in
+# SMEM (a few hundred), read lazily by the shared math's scalar indexing.
+
+
+def _build_local_kernel(lt, lx, K, num_layers, num_transitions, tile_b,
+                        bounded_q, rand, interpret, ablate_nets=False,
+                        hop=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    d = lt * lx
+    names = local_weight_names(num_layers)
+    n_w = len(names)
+
+    if interpret:
+        roll = functools.partial(jnp.roll, axis=1)
+    else:
+        def roll(a, k):
+            return pltpu.roll(a, k % d, axis=1)
+
+    def _body(seed_ref, scal_ref, x0_ref, x1_ref, w_refs, rand_refs,
+              x0_out, x1_out, plaq_ref, chg_ref, prob_ref):
+        if rand == "prng":
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        eps = scal_ref[0]
+        beta = scal_ref[1]
+        s_col = (jax.lax.broadcasted_iota(jnp.int32, (tile_b, d), 1) % lx)
+        # refs, not loads: stencil weights are scalar-indexed from SMEM
+        # inside the shared math; masks row-indexed from VMEM
+        W = SimpleNamespace(**dict(zip(names, w_refs)))
+        if hop:
+            w0f, w1f = _winding_flat(tile_b, d, lt, lx)
+
+        def step(t, carry):
+            x0, x1, pot2, sinp, cosp, chg2 = carry
+            if rand == "prng":
+                v0, v1 = _normal_pair((tile_b, d))
+                dbits = pltpu.bitcast(
+                    pltpu.prng_random_bits((tile_b, d)), jnp.uint32)
+                dsg = ((dbits[:, 0] & 1).astype(jnp.int32) * 2
+                       ).astype(jnp.float32) - 1.0
+                ubits = pltpu.bitcast(
+                    pltpu.prng_random_bits((tile_b, d)), jnp.uint32)
+                u = _uniform_from_bits(ubits)[:, 0]
+                if hop:
+                    hbits = pltpu.bitcast(
+                        pltpu.prng_random_bits((tile_b, d)), jnp.uint32)
+                    nu = ((hbits[:, 0] & 1).astype(jnp.int32) * 2
+                          ).astype(jnp.float32) - 1.0
+                    uh = _uniform_from_bits(hbits)[:, 1]
+            else:
+                if hop:
+                    (v0s_ref, v1s_ref, ds_ref, us_ref, nus_ref,
+                     uhs_ref) = rand_refs
+                    nu = nus_ref[0, t]
+                    uh = uhs_ref[0, t]
+                else:
+                    v0s_ref, v1s_ref, ds_ref, us_ref = rand_refs
+                v0, v1 = v0s_ref[t], v1s_ref[t]
+                dsg, u = ds_ref[0, t], us_ref[0, t]
+            if hop:
+                (x0, x1, prob, plaq, pot, sinp, chg,
+                 cosp) = _l2hmc_transition_math(
+                    x0, x1, v0, v1, dsg, u, W, eps, beta, K, lx, s_col,
+                    roll, bounded_q, pot0=pot2[:, 0], sinp=sinp,
+                    chg0=chg2[:, 0], ablate_nets=ablate_nets, cosp=cosp,
+                    local_layers=num_layers)
+                x0, x1, _, pot, sinp, cosp, chg = _hop_math(
+                    x0, x1, pot, sinp, cosp, chg, nu, uh, beta, w0f, w1f)
+                plaq = 1.0 - pot / d
+            else:
+                x0, x1, prob, plaq, pot, sinp, chg = _l2hmc_transition_math(
+                    x0, x1, v0, v1, dsg, u, W, eps, beta, K, lx, s_col,
+                    roll, bounded_q, pot0=pot2[:, 0], sinp=sinp,
+                    chg0=chg2[:, 0], ablate_nets=ablate_nets,
+                    local_layers=num_layers)
+            plaq_ref[0, t, :] = plaq
+            chg_ref[0, t, :] = chg
+            prob_ref[0, t, :] = prob
+            return (x0, x1, pot[:, None], sinp, cosp, chg[:, None])
+
+        pot0, sinp0, cosp0, chg0 = _potential_fields(
+            x0_ref[:], x1_ref[:], lx, s_col, roll)
+        if not hop:
+            cosp0 = jnp.zeros((tile_b, 1), jnp.float32)
+        x0, x1, _, _, _, _ = jax.lax.fori_loop(
+            0, num_transitions, step,
+            (x0_ref[:], x1_ref[:], pot0[:, None], sinp0, cosp0,
+             chg0[:, None]))
+        x0_out[:] = x0
+        x1_out[:] = x1
+
+    n_rand = 0 if rand == "prng" else (6 if hop else 4)
+
+    def kernel(seed_ref, scal_ref, x0_ref, x1_ref, *rest):
+        w_refs = rest[:n_w]
+        rand_refs = rest[n_w:n_w + n_rand] if n_rand else None
+        x0_out, x1_out, plaq_ref, chg_ref, prob_ref = rest[n_w + n_rand:]
+        _body(seed_ref, scal_ref, x0_ref, x1_ref, w_refs, rand_refs,
+              x0_out, x1_out, plaq_ref, chg_ref, prob_ref)
+
+    state_spec = pl.BlockSpec((tile_b, d), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+    # (G, N, tile_b) trace blocks: tile_b is the full minor extent, so it
+    # needs no 128-lane alignment (the dense kernel's constraint)
+    trace_spec = pl.BlockSpec((1, num_transitions, tile_b),
+                              lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def w_spec(name, w):
+        if name in ("mask0", "mask1"):
+            nd = len(w.shape)
+            return pl.BlockSpec(w.shape, (lambda i: (0,) * nd),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def call(b, x0, x1, seed, scal, weights, *rand_arrays):
+        in_specs = [smem, smem, state_spec, state_spec]
+        in_specs += [w_spec(n, w) for n, w in zip(names, weights)]
+        if rand == "input":
+            rand_state = pl.BlockSpec((num_transitions, tile_b, d),
+                                      lambda i: (0, i, 0),
+                                      memory_space=pltpu.VMEM)
+            in_specs += [rand_state, rand_state, trace_spec, trace_spec]
+            if hop:
+                in_specs += [trace_spec, trace_spec]
+        g = b // tile_b
+        return pl.pallas_call(
+            kernel,
+            interpret=interpret,
+            grid=(g,),
+            in_specs=in_specs,
+            out_specs=(state_spec, state_spec, trace_spec, trace_spec,
+                       trace_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, d), jnp.float32),
+                jax.ShapeDtypeStruct((b, d), jnp.float32),
+                jax.ShapeDtypeStruct((g, num_transitions, tile_b),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((g, num_transitions, tile_b),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((g, num_transitions, tile_b),
+                                     jnp.float32),
+            ),
+            input_output_aliases={2: 0, 3: 1},
+        )(seed, scal, x0, x1, *weights, *rand_arrays)
+
+    return call
+
+
+@functools.lru_cache(maxsize=None)
+def _local_kernel_for(lt, lx, K, num_layers, num_transitions, tile_b,
+                      bounded_q, rand, interpret, ablate_nets=False,
+                      hop=False):
+    return _build_local_kernel(lt, lx, K, num_layers, num_transitions,
+                               tile_b, bounded_q, rand, interpret,
+                               ablate_nets, hop)
+
+
+def l2hmc_local_chain_pallas(
+    links: jax.Array,
+    params,
+    key: jax.Array,
+    eps,
+    beta: float,
+    num_leapfrog: int,
+    num_transitions: int,
+    num_layers: int,
+    bounded_q: bool = True,
+    tile_b: int = 0,
+    interpret: bool = False,
+    rand_arrays=None,
+    ablate_nets: bool = False,
+    hop: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Fused chain of trained LOCAL-stencil L2HMC transitions (VERDICT r4
+    item 1: the in-kernel 5-point stencil conditioner).
+
+    Same contract as :func:`l2hmc_chain_pallas` but ``params`` are
+    ``make_local_flat_net`` DynamicsParams of depth ``num_layers``
+    (``network_arch='local_flat'``).  Designed for LARGE volume: small
+    sublane tiles (multiples of 8, not 128) via the transposed trace
+    layout, stencil weights scalar-resident in SMEM, shifted reads as
+    VMEM lane rolls.  ``hop=True`` fuses one instanton hop per
+    transition (the champion+hop topological sampler).
+    """
+    b, lt, lx, _ = links.shape
+    d = lt * lx
+    weights = pack_local_weights(params, 2 * d, num_layers)
+    channels = weights[0].shape[2]
+
+    # live (tile_b, d) rows: carry/state/trig ~20 + stencil accumulators
+    # and layer outputs ~2c + head temps; masks + lane-padded traces are
+    # tile-independent extras
+    rows = 28 + 2 * channels + (3 if hop else 0)
+    fixed = 2 * num_leapfrog * d * 4 + 6 * num_transitions * 128 * 4
+    if tile_b <= 0:
+        budget = (11 << 20) - fixed
+        tile_b = max(8, min(b, (budget // (4 * rows * d) // 8) * 8))
+    while b % tile_b != 0 and tile_b > 1:
+        tile_b -= 1
+    est = fixed + tile_b * 4 * rows * d
+    if est > (14 << 20):
+        raise ValueError(
+            f"fused local chain would need ~{est >> 20} MB VMEM "
+            f"(tile_b={tile_b}, d={d}, c={channels}, N={num_transitions}); "
+            "shrink num_transitions per call or use the XLA path")
+
+    rand = "input" if rand_arrays is not None else "prng"
+    call = _local_kernel_for(lt, lx, num_leapfrog, num_layers,
+                             num_transitions, tile_b, bounded_q, rand,
+                             interpret, ablate_nets, hop)
+
+    g = b // tile_b
+    x0 = links[..., 0].reshape(b, d).astype(jnp.float32)
+    x1 = links[..., 1].reshape(b, d).astype(jnp.float32)
+    seed = jnp.asarray(
+        jax.random.randint(key, (1,), 0, np.iinfo(np.int32).max), jnp.int32)
+    scal = jnp.stack([jnp.asarray(eps, jnp.float32),
+                      jnp.asarray(beta, jnp.float32)])
+    extra = ()
+    if rand == "input":
+        if hop and len(rand_arrays) != 6:
+            raise ValueError("hop=True with injected randomness needs "
+                             "rand_arrays=(v0s, v1s, ds, us, nus, uhs)")
+
+        def chainwise(a):   # (N, b) -> (G, N, tile_b), chain c = i*tb + j
+            a = jnp.asarray(a, jnp.float32)
+            return a.reshape(num_transitions, g, tile_b).transpose(1, 0, 2)
+
+        v0s, v1s = (jnp.asarray(a, jnp.float32) for a in rand_arrays[:2])
+        extra = (v0s, v1s) + tuple(chainwise(a) for a in rand_arrays[2:])
+    x0, x1, plaqs, chgs, probs = call(b, x0, x1, seed, scal, weights, *extra)
+
+    def fix(o):             # (G, N, tile_b) -> (N, b)
+        return jnp.moveaxis(o, 0, 1).reshape(num_transitions, b)
+
+    out = jnp.stack([x0.reshape(b, lt, lx), x1.reshape(b, lt, lx)], axis=-1)
+    return out, fix(plaqs), jnp.round(fix(chgs)), fix(probs)

@@ -308,7 +308,13 @@ def _normal_pair(shape):
 
 
 def _build_chain_kernel(lt, lx, num_leapfrog, num_transitions, tile_b,
-                        rand, interpret, hop=False):
+                        rand, interpret, hop=False, sub_layout=False):
+    """``sub_layout=True`` stores traces as ``(G, N, tile_b)`` blocks —
+    tile_b is then the FULL minor extent, so small sublane tiles
+    (multiples of 8) are legal where the default ``(N, tile_b)`` layout
+    needs 128-lane alignment.  This is what makes the fused chain fit
+    VMEM at large volume (64x64: d=4096 at tile_b=128 is ~28 MB; at
+    tile_b=16 it is ~4 MB)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -319,6 +325,15 @@ def _build_chain_kernel(lt, lx, num_leapfrog, num_transitions, tile_b,
     else:
         def roll(a, k):
             return pltpu.roll(a, k % d, axis=1)
+
+    def _tr_read(ref, t):
+        return ref[0, t] if sub_layout else ref[t]
+
+    def _tr_store(ref, t, val):
+        if sub_layout:
+            ref[0, t, :] = val
+        else:
+            ref[t, :] = val
 
     def _body(seed_ref, scal_ref, x0_ref, x1_ref, rand_refs,
               x0_out, x1_out, plaq_ref, chg_ref, prob_ref):
@@ -351,13 +366,13 @@ def _build_chain_kernel(lt, lx, num_leapfrog, num_transitions, tile_b,
             else:
                 if hop:
                     v0s_ref, v1s_ref, us_ref, nus_ref, uhs_ref = rand_refs
-                    nu = nus_ref[t]
-                    uh = uhs_ref[t]
+                    nu = _tr_read(nus_ref, t)
+                    uh = _tr_read(uhs_ref, t)
                 else:
                     v0s_ref, v1s_ref, us_ref = rand_refs
                 v0 = v0s_ref[t]
                 v1 = v1s_ref[t]
-                u = us_ref[t]
+                u = _tr_read(us_ref, t)
             if hop:
                 x0, x1, prob, plaq, pot, sinp, chg, cosp = _transition_math(
                     x0, x1, v0, v1, u, eps, beta, num_leapfrog, lx, s_col,
@@ -370,9 +385,9 @@ def _build_chain_kernel(lt, lx, num_leapfrog, num_transitions, tile_b,
                 x0, x1, prob, plaq, pot, sinp, chg = _transition_math(
                     x0, x1, v0, v1, u, eps, beta, num_leapfrog, lx, s_col,
                     roll, pot0=pot2[:, 0], sinp=sinp, chg0=chg2[:, 0])
-            plaq_ref[t, :] = plaq
-            chg_ref[t, :] = chg
-            prob_ref[t, :] = prob
+            _tr_store(plaq_ref, t, plaq)
+            _tr_store(chg_ref, t, chg)
+            _tr_store(prob_ref, t, prob)
             return (x0, x1, pot[:, None], sinp, cosp, chg[:, None])
 
         pot0, sinp0, cosp0, chg0 = _potential_fields(
@@ -409,8 +424,14 @@ def _build_chain_kernel(lt, lx, num_leapfrog, num_transitions, tile_b,
 
     state_spec = pl.BlockSpec((tile_b, d), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)
-    trace_spec = pl.BlockSpec((num_transitions, tile_b), lambda i: (0, i),
-                              memory_space=pltpu.VMEM)
+    if sub_layout:
+        trace_spec = pl.BlockSpec((1, num_transitions, tile_b),
+                                  lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    else:
+        trace_spec = pl.BlockSpec((num_transitions, tile_b),
+                                  lambda i: (0, i),
+                                  memory_space=pltpu.VMEM)
     smem_seed = pl.BlockSpec(memory_space=pltpu.SMEM)
     in_specs = [smem_seed, smem_seed, state_spec, state_spec]
     if rand == "input":
@@ -422,6 +443,8 @@ def _build_chain_kernel(lt, lx, num_leapfrog, num_transitions, tile_b,
             in_specs += [trace_spec, trace_spec]
 
     def call(b, x0, x1, seed, scal, *rand_arrays):
+        tr_shape = ((b // tile_b, num_transitions, tile_b) if sub_layout
+                    else (num_transitions, b))
         return pl.pallas_call(
             kernel,
             interpret=interpret,
@@ -432,9 +455,9 @@ def _build_chain_kernel(lt, lx, num_leapfrog, num_transitions, tile_b,
             out_shape=(
                 jax.ShapeDtypeStruct((b, d), jnp.float32),
                 jax.ShapeDtypeStruct((b, d), jnp.float32),
-                jax.ShapeDtypeStruct((num_transitions, b), jnp.float32),
-                jax.ShapeDtypeStruct((num_transitions, b), jnp.float32),
-                jax.ShapeDtypeStruct((num_transitions, b), jnp.float32),
+                jax.ShapeDtypeStruct(tr_shape, jnp.float32),
+                jax.ShapeDtypeStruct(tr_shape, jnp.float32),
+                jax.ShapeDtypeStruct(tr_shape, jnp.float32),
             ),
             # donate the chain state: in-place update saves HBM traffic and
             # keeps XLA from allocating separate (promoted-to-VMEM) outputs
@@ -446,9 +469,9 @@ def _build_chain_kernel(lt, lx, num_leapfrog, num_transitions, tile_b,
 
 @functools.lru_cache(maxsize=None)
 def _chain_kernel_for(lt, lx, num_leapfrog, num_transitions, tile_b,
-                      rand, interpret, hop=False):
+                      rand, interpret, hop=False, sub_layout=False):
     return _build_chain_kernel(lt, lx, num_leapfrog, num_transitions,
-                               tile_b, rand, interpret, hop)
+                               tile_b, rand, interpret, hop, sub_layout)
 
 
 def hmc_chain_pallas(
@@ -483,26 +506,30 @@ def hmc_chain_pallas(
     """
     b, lt, lx, _ = links.shape
     d = lt * lx
+    rows = 20 if hop else 17   # hop carries cosp + the winding halves
+    sub_layout = False
     if tile_b <= 0:
         # VMEM residents per tile_b row: ~9 temporaries (incl. the carried
         # sine field) + 2 in + 2 out (tile_b, d) state buffers (I/O
         # double-buffered: x2) and the two (N, tile_b) trace blocks (also
-        # double-buffered).  Budget ~12 MB of the 16 MB VMEM.  The trace
-        # blocks make tile_b a lane dim, so it must be a multiple of 128
-        # (or the full batch) for Mosaic.
-        rows = 20 if hop else 17   # hop carries cosp + the winding halves
+        # double-buffered).  Budget ~12 MB of the 16 MB VMEM.  The default
+        # trace blocks make tile_b a lane dim (multiple of 128); when the
+        # VMEM budget cannot afford 128 rows (large d), switch to the
+        # transposed (G, N, tile_b) trace layout where any multiple of 8
+        # is legal — this is what lets the fused chain run at 64x64.
         per_row = 4 * (rows * d + (8 if hop else 6) * num_transitions)
         tile_b = max(8, min(b, (8 << 20) // per_row))
         if tile_b < b:
-            tile_b = max(128, (tile_b // 128) * 128)
+            if tile_b >= 128:
+                tile_b = (tile_b // 128) * 128
+            else:
+                sub_layout = True
+                tile_b = (tile_b // 8) * 8
     while b % tile_b != 0 and tile_b > 1:
         tile_b -= 1
-    # VMEM feasibility: the Mosaic trace blocks force tile_b >= 128 when
-    # b > tile_b, so very large lattices / long traces can exceed the
-    # ~16 MB budget.  Callers (hmc_chain_u1_fused) catch this and fall
-    # back to the XLA scan path.
-    est = tile_b * 4 * ((20 if hop else 17) * d
-                        + (8 if hop else 6) * num_transitions)
+    if tile_b < 128 and tile_b < b:
+        sub_layout = True
+    est = tile_b * 4 * (rows * d + (8 if hop else 6) * num_transitions)
     if est > (14 << 20):
         raise ValueError(
             f"fused leapfrog chain would need ~{est >> 20} MB of VMEM "
@@ -511,8 +538,9 @@ def hmc_chain_pallas(
 
     rand = "input" if rand_arrays is not None else "prng"
     call = _chain_kernel_for(lt, lx, num_leapfrog, num_transitions, tile_b,
-                             rand, interpret, hop)
+                             rand, interpret, hop, sub_layout)
 
+    g = b // tile_b
     x0 = links[..., 0].reshape(b, d).astype(jnp.float32)
     x1 = links[..., 1].reshape(b, d).astype(jnp.float32)
     seed = jnp.asarray(
@@ -524,6 +552,15 @@ def hmc_chain_pallas(
         if hop and len(extra) != 5:
             raise ValueError("hop=True with injected randomness needs "
                              "(v0s, v1s, us, nus, uhs)")
+        if sub_layout:
+            # (N, b) scalar streams -> (G, N, tile_b), chain c = i*tb + j
+            extra = extra[:2] + tuple(
+                a.reshape(num_transitions, g, tile_b).transpose(1, 0, 2)
+                for a in extra[2:])
     x0, x1, plaqs, chgs, probs = call(b, x0, x1, seed, scal, *extra)
+    if sub_layout:
+        plaqs, chgs, probs = (
+            jnp.moveaxis(o, 0, 1).reshape(num_transitions, b)
+            for o in (plaqs, chgs, probs))
     out = jnp.stack([x0.reshape(b, lt, lx), x1.reshape(b, lt, lx)], axis=-1)
     return out, plaqs, jnp.round(chgs), probs

@@ -64,6 +64,8 @@ SLOW_TESTS = {
     "test_su3_hmc_matches_exact_plaquette", "test_temperature_annealing_path",
     "test_topological_susceptibility_exact_oracle",
     "test_hop_kernel_matches_twin",
+    "test_local_twin_matches_make_dynamics", "test_local_kernel_matches_twin",
+    "test_local_hop_kernel_matches_twin", "test_local_ablate_equals_zero_params",
     "test_train_hops_moves_training_chain_sectors",
     "test_training_beats_hmc_mixing", "test_twin_matches_make_dynamics",
     "test_composite_chain_stationary_on_oracles",
