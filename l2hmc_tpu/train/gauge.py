@@ -276,10 +276,12 @@ def build_dynamics(cfg: GaugeConfig):
 
 
 def _effective_lr(cfg: GaugeConfig) -> float:
-    if cfg.network_arch == "local":
-        # the local conditioner's head fan-in is k^2 * channels (weight
+    if cfg.network_arch in ("local", "local_flat"):
+        # the local conditioners' head fan-in is k^2 * channels (weight
         # shared, volume-independent) — the width-scaling rationale (output
-        # jump per Adam step grows with fan-in) does not apply
+        # jump per Adam step grows with fan-in) does not apply; without
+        # this branch local_flat silently trained at lr/32 at 64x64
+        # (cfg.hidden defaults to 2*x_dim it never allocates)
         return cfg.lr_init
     return cfg.lr_init * min(1.0, cfg.lr_width_ref / max(cfg.hidden, 1))
 
