@@ -465,15 +465,17 @@ def main():
                 eff_th / eff_h, 3),
             "trained_hop_tunneling_vs_hmc_spotcheck": round(
                 tun_th / tun_h, 3),
-            "trained_hop_campaign_plaq_ess_per_s_ratio": 1.051,
-            "trained_hop_campaign_plaq_ess_per_s_err": 0.011,
-            "trained_hop_campaign_tunneling_ratio": 21.40,
-            "trained_hop_campaign_tunneling_err": 0.10,
-            "trained_hop_campaign_q_ess_per_s_ratio": 44.1,
+            "trained_hop_campaign_plaq_ess_per_s_ratio": 1.047,
+            "trained_hop_campaign_plaq_ess_per_s_err": 0.009,
+            "trained_hop_campaign_tunneling_ratio": 21.32,
+            "trained_hop_campaign_tunneling_err": 0.05,
+            "trained_hop_campaign_q_ess_per_s_ratio": 43.96,
             "trained_hop_campaign_q_ess_per_s_err": 3.2,
             "trained_hop_campaign_protocol": (
                 "topo_ensemble 5 reps x 6000 steps x 2048 chains, "
-                "interleaved, all hop cost counted (16x16 beta=4)"),
+                "interleaved, all hop cost counted (16x16 beta=4; "
+                "runs/topo16_r5.json — r5 re-run reproducing the r4 "
+                "figures within errors)"),
             "trained_hop_q_tau_pooled": round(tau_th, 2),
             "hmc_q_tau_pooled": round(tau_h, 2),
             "trained_hop_plaq_mean": round(plaq_th, 6),
