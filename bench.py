@@ -484,6 +484,22 @@ def main():
                 f"champion {cfg_d.get('network_arch')} h{cfg_d.get('num_hidden')} "
                 f"K={cfg_d.get('num_steps')} eps_fixed "
                 f"merge_v={cfg_d.get('merge_v_halves')} @1024 chains"),
+            # r5 64x64 tier — campaign-anchored statics (the live
+            # measurement is benchmarks/local64_h2h.py ->
+            # runs/l64_c4L1_final.json: 3 seeds, jackknife; and
+            # benchmarks/local_kernel_bench.py for the kernel costs)
+            "local64_stencil_vs_hmc_xla_ess_per_s": 2.521,
+            "local64_stencil_vs_hmc_xla_err": 0.024,
+            "local64_stencil_vs_hmc_fused_ess_per_s": 0.238,
+            "local64_stencil_vs_hmc_fused_err": 0.003,
+            "local64_per_step_quality": 1.655,
+            "local64_per_step_quality_err": 0.016,
+            "local64_protocol": (
+                "local64_h2h 3 seeds x 4000 steps x 512 chains, "
+                "interleaved 3-sampler (stencil kernel / fused HMC / "
+                "XLA HMC), 64x64 beta=4"),
+            "hmc64_fused_us_per_transition": 848.0,
+            "hmc64_xla_us_per_transition": 8996.0,
         }
 
         # best-vs-best tier (VERDICT r2 item 1): the champion scored ON its
