@@ -28,6 +28,11 @@ DOCS = ["RESULTS.md", "README.md", "BASELINE.md", "MIGRATION.md",
 CITE_RE = re.compile(r"runs/[A-Za-z0-9_.*{},/]+")
 
 
+def normalize_citation(raw: str) -> str:
+    """Strip sentence punctuation the citation regex may have swallowed."""
+    return raw.rstrip(".,") if raw.endswith((".", ",")) else raw
+
+
 def expand_braces(pat: str):
     """runs/freeze_{8,16}_*.json -> [runs/freeze_8_*.json, ...]."""
     m = re.search(r"\{([^{}]*)\}", pat)
@@ -51,8 +56,7 @@ def main(argv=None):
         if not path.exists():
             continue
         for raw in CITE_RE.findall(path.read_text()):
-            # strip trailing punctuation the regex may have swallowed
-            pat = raw.rstrip(".,*") if raw.endswith((".", ",")) else raw
+            pat = normalize_citation(raw)
             # run DIRECTORIES (runs/gauge, runs/quickstart_b5) are cited
             # for their checkpoints/params; JSON artifacts for content
             cited.setdefault(pat, set()).add(doc)
