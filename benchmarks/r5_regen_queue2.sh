@@ -44,14 +44,6 @@ run vpu vpu
 run lcs python benchmarks/local_cost_sweep.py --out runs/local_cost_sweep.json
 run lcs512 python benchmarks/local_cost_sweep.py --chains 512 --out runs/local_cost_sweep_512.json
 
-# 7. 64x64 stencil-kernel campaign: screens then the 3-seed final
-run l64sA python benchmarks/local64_h2h.py --seeds 1 --channels 4 --layers 1 \
-    --no_xla_tier --out runs/l64_c4L1_screen.json
-run l64sB python benchmarks/local64_h2h.py --seeds 1 --channels 8 --layers 1 \
-    --no_xla_tier --out runs/l64_c8L1_screen.json
-run l64f python benchmarks/local64_h2h.py --seeds 3 --channels 4 --layers 1 \
-    --out runs/l64_c4L1_final.json
-
 # 8. beta=3 campaigns (HMC optima cached from the recorded tuner results)
 run b163 python benchmarks/beta_campaign.py --size 16 --beta 3.0 \
     --hmc_k 4 --hmc_eps 0.105 --out runs/beta_16_3.0.json
@@ -64,5 +56,13 @@ run b165 python benchmarks/h2h_seeds.py --size 16 --beta 5.0 --seeds 8 \
     --num_steps 4 --eps 0.079 --hmc_num_steps 4 --hmc_eps 0.079 \
     --charge_reward --eval_init metropolis --train_hops \
     --out runs/beta_16_5.0_hops.json
+
+# 7. 64x64 stencil-kernel campaign: screens then the 3-seed final
+run l64sA python benchmarks/local64_h2h.py --seeds 1 --channels 4 --layers 1 \
+    --no_xla_tier --out runs/l64_c4L1_screen.json
+run l64sB python benchmarks/local64_h2h.py --seeds 1 --channels 8 --layers 1 \
+    --no_xla_tier --out runs/l64_c8L1_screen.json
+run l64f python benchmarks/local64_h2h.py --seeds 3 --channels 4 --layers 1 \
+    --out runs/l64_c4L1_final.json
 
 echo "=== queue2 complete ($(date +%H:%M:%S)) ==="
